@@ -1,0 +1,51 @@
+"""Host-facing convenience API — the ``*_batched_gpu`` flavor.
+
+The reference exposes every algorithm twice (``include/inverse_gpu.h:7-31``):
+``*_batched_gpu`` takes host arrays and owns alloc→H2D→kernel→D2H→free
+(e.g. ``src/gauss/inverse_gpu.cu:60-123``), while ``*_batched_device``
+composes on device.  This module is the former: NumPy in, NumPy out,
+device transfer and synchronization handled internally.  The composable
+device layer is :mod:`cuda_matrix_inversion_tpu.ops.xla` and the Pallas
+kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+from cuda_matrix_inversion_tpu.types import as_batch
+
+_jit_cache = {}
+
+
+def _jitted(name: str):
+    if name not in _jit_cache:
+        fn = get_inverse_algorithm(name)
+        _jit_cache[name] = jax.jit(fn)
+    return _jit_cache[name]
+
+
+def inverse_batched(a: np.ndarray, algorithm: str = "lu", device=None) -> np.ndarray:
+    """Invert a host batch on device; host array in, host array out.
+
+    Analog of ``inverse_lu_cuda_batched_gpu`` / ``inverse_gauss_batched_gpu``
+    etc. (``include/inverse_gpu.h:7-8``): the device round-trip the
+    reference hand-codes (pinned alloc, cudaMemcpy2D, launch, D2H, free —
+    ``src/gauss/batched_invert.cu:99-177``) collapses to device_put + jit +
+    device_get under JAX.
+    """
+    host = as_batch(a)
+    if algorithm.endswith("_cpu"):
+        return get_inverse_algorithm(algorithm)(host)
+    dev = jax.device_put(host, device)
+    out = _jitted(algorithm)(dev)
+    return np.asarray(jax.device_get(out))
+
+
+def inverse_batched_device(a: jnp.ndarray, algorithm: str = "lu") -> jnp.ndarray:
+    """Device-resident flavor: jnp array in/out, stays in HBM, composable
+    under jit (analog of the ``*_batched_device`` API)."""
+    return get_inverse_algorithm(algorithm)(a)

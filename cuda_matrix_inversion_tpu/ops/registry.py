@@ -1,0 +1,70 @@
+"""Algorithm registry for batched inversion.
+
+The reference exposes six inversion algorithms side by side in its bench
+(``src/inverse_bench.c:84-89``: lu_blas_cpu, lu_blas_omp_cpu, chol_gpu,
+chol_mm2_gpu, gauss_batched_gpu, lu_cuda_batched_gpu).  This registry is
+the single place those capability names map to TPU implementations, so the
+CLIs, tests, and bench all dispatch the same way.
+
+Device algorithms take and return ``(batch, n, n)`` jnp arrays and are
+jit-composable.  CPU algorithms take/return ndarrays (the oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_DEVICE_ALGORITHMS: Dict[str, Callable] = {}
+_CPU_ALGORITHMS: Dict[str, Callable] = {}
+
+
+def register_inverse(name: str, fn: Callable, cpu: bool = False) -> None:
+    (_CPU_ALGORITHMS if cpu else _DEVICE_ALGORITHMS)[name] = fn
+
+
+def _populate() -> None:
+    if _DEVICE_ALGORITHMS:
+        return
+    from cuda_matrix_inversion_tpu.ops import cpu_reference, xla
+
+    # device (TPU) paths — analog of the reference's *_batched_device family
+    register_inverse("lu", xla.inverse_lu)
+    register_inverse("cholesky", xla.inverse_cholesky)
+    try:
+        from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan
+
+        register_inverse("gauss_pallas", pallas_gauss_jordan.inverse_gauss_jordan)
+    except ImportError:
+        pass
+    try:
+        from cuda_matrix_inversion_tpu.ops import pallas_cholesky
+
+        register_inverse("cholesky_pallas", pallas_cholesky.inverse_cholesky)
+    except ImportError:
+        pass
+
+    # CPU oracle paths — analog of inverse_lu_blas / inverse_chol_blas
+    register_inverse("lu_cpu", cpu_reference.inverse_lu, cpu=True)
+    register_inverse("cholesky_cpu", cpu_reference.inverse_cholesky, cpu=True)
+    register_inverse("gauss_cpu", cpu_reference.inverse_gauss_jordan, cpu=True)
+
+
+def get_inverse_algorithm(name: str) -> Callable:
+    _populate()
+    if name in _DEVICE_ALGORITHMS:
+        return _DEVICE_ALGORITHMS[name]
+    if name in _CPU_ALGORITHMS:
+        return _CPU_ALGORITHMS[name]
+    raise KeyError(
+        f"unknown inversion algorithm {name!r}; have "
+        f"{sorted(_DEVICE_ALGORITHMS) + sorted(_CPU_ALGORITHMS)}"
+    )
+
+
+def list_inverse_algorithms(cpu: bool | None = None):
+    _populate()
+    if cpu is True:
+        return sorted(_CPU_ALGORITHMS)
+    if cpu is False:
+        return sorted(_DEVICE_ALGORITHMS)
+    return sorted(_DEVICE_ALGORITHMS) + sorted(_CPU_ALGORITHMS)

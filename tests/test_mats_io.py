@@ -1,0 +1,97 @@
+"""Tests for .mats I/O, replication, and fixture generation.
+
+Models the reference's test strategy (SURVEY §4): golden-file numerical
+fixtures with hard shape validation (readTest, src/inverse_bench.c:240-274).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cuda_matrix_inversion_tpu.io.mats import read_mats, write_mats, read_test_folder
+from cuda_matrix_inversion_tpu.io.replicate import replicate_matrices
+from cuda_matrix_inversion_tpu.utils.errors import EnsureError
+
+
+def test_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((5, 4, 3))
+    path = str(tmp_path / "x.mats")
+    write_mats(path, arr)
+    back = read_mats(path, dtype=np.float64)
+    np.testing.assert_allclose(back, arr, rtol=0, atol=0)
+
+
+def test_header_contract(tmp_path):
+    path = str(tmp_path / "x.mats")
+    write_mats(path, np.zeros((2, 3, 3)))
+    with open(path) as f:
+        header = f.readline().split()
+    assert header == ["2", "3", "3"]
+
+
+def test_reads_reference_format(tmp_path):
+    # Hand-written file in the exact dlmwrite format the reference parses
+    # (src/helper.cu:22-48): tab-separated, one matrix row per line.
+    path = str(tmp_path / "ref.mats")
+    with open(path, "w") as f:
+        f.write("2\t2\t2\n")
+        f.write("1\t2\n3\t4\n")
+        f.write("5\t6\n7\t8\n")
+    arr = read_mats(path, dtype=np.float64)
+    np.testing.assert_array_equal(arr[0], [[1, 2], [3, 4]])
+    np.testing.assert_array_equal(arr[1], [[5, 6], [7, 8]])
+
+
+def test_value_count_mismatch_fails(tmp_path):
+    path = str(tmp_path / "bad.mats")
+    with open(path, "w") as f:
+        f.write("2\t2\t2\n1\t2\n3\t4\n")  # only one matrix of data
+    with pytest.raises((EnsureError, IOError)):
+        read_mats(path)
+
+
+def test_replicate():
+    arr = np.arange(12, dtype=np.float32).reshape(2, 2, 3)
+    out = replicate_matrices(arr, 3)
+    assert out.shape == (6, 2, 3)
+    np.testing.assert_array_equal(out[2], arr[0])
+    np.testing.assert_array_equal(out[5], arr[1])
+
+
+def test_read_test_folder_inverse(fixture_root):
+    data = read_test_folder(os.path.join(fixture_root, "inverse_20_8x8"))
+    assert data["a"].shape == (20, 8, 8)
+    assert data["aInv"].shape == (20, 8, 8)
+    # ground truth really is the inverse
+    prod = data["a"].astype(np.float64) @ data["aInv"].astype(np.float64)
+    err = np.abs(prod - np.eye(8)).max()
+    assert err < 1e-4
+
+
+def test_read_test_folder_gaussian(fixture_root):
+    data = read_test_folder(os.path.join(fixture_root, "gaussian_20_8x8"))
+    assert data["b"].shape == (20, 8, 8)
+    for nm in ("a", "c", "d"):
+        assert data[nm].shape == (20, 8, 1)
+    for nm in ("e", "means", "variances"):
+        assert data[nm].shape == (20, 1, 1)
+
+
+def test_gaussian_ground_truth_consistent(fixture_root):
+    # means.mats must equal a'(B+diag c)^-1 d computed in float64.
+    data = read_test_folder(os.path.join(fixture_root, "gaussian_20_8x8"), dtype=np.float64)
+    k = data["b"] + np.eye(8) * data["c"][:, :, 0][:, None, :]
+    means = np.transpose(data["a"], (0, 2, 1)) @ np.linalg.solve(k, data["d"])
+    np.testing.assert_allclose(means, data["means"], atol=1e-12)
+
+
+def test_shape_validation_fails_on_mismatch(tmp_path):
+    import cuda_matrix_inversion_tpu.io.fixtures as fx
+
+    fx.generate_gaussian_fixtures(str(tmp_path), dim=4, num=3, seed=1)
+    # corrupt: c has wrong dim
+    write_mats(str(tmp_path / "c.mats"), np.zeros((3, 5, 1)))
+    with pytest.raises(EnsureError):
+        read_test_folder(str(tmp_path), kind="gaussian")

@@ -1,0 +1,77 @@
+"""Tests for the XLA device ops and the GP model pipelines."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+from cuda_matrix_inversion_tpu.io.mats import read_test_folder
+from cuda_matrix_inversion_tpu.models import gp
+from cuda_matrix_inversion_tpu.ops import xla as ops
+from cuda_matrix_inversion_tpu.ops.host_api import inverse_batched
+
+
+def _identity_err(a, a_inv):
+    prod = np.asarray(a, dtype=np.float64) @ np.asarray(a_inv, dtype=np.float64)
+    return np.abs(prod - np.eye(a.shape[-1])).max()
+
+
+def test_add_diagonal(rng):
+    b = rng.standard_normal((4, 8, 8)).astype(np.float32)
+    c = rng.standard_normal((4, 8, 1)).astype(np.float32)
+    out = np.asarray(ops.add_diagonal(jnp.asarray(b), jnp.asarray(c)))
+    expect = b + np.eye(8, dtype=np.float32) * c[:, :, 0][:, None, :]
+    np.testing.assert_allclose(out, expect, atol=1e-7)
+
+
+@pytest.mark.parametrize("alg", ["lu", "cholesky"])
+@pytest.mark.parametrize("n", [8, 16, 64])
+def test_batched_inverse_algorithms(alg, n, rng):
+    a = make_spd_batch(8, n, rng).astype(np.float32)
+    inv = inverse_batched(a, algorithm=alg)
+    assert inv.shape == a.shape
+    assert _identity_err(a, inv) < 1e-4  # the BASELINE gate
+
+
+@pytest.mark.parametrize("alg", ["lu", "cholesky"])
+def test_batched_inverse_fp64(alg, rng):
+    a = make_spd_batch(4, 32, rng)
+    inv = inverse_batched(a, algorithm=alg)
+    assert _identity_err(a, inv) < 1e-11
+
+
+def test_spd_solve_matches_inverse(rng):
+    a = make_spd_batch(5, 16, rng).astype(np.float32)
+    rhs = rng.standard_normal((5, 16, 2)).astype(np.float32)
+    x1 = np.asarray(ops.spd_solve(jnp.asarray(a), jnp.asarray(rhs)))
+    x2 = np.linalg.solve(a.astype(np.float64), rhs.astype(np.float64))
+    np.testing.assert_allclose(x1, x2, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["solve", "inverse", "lu"])
+def test_gp_pipeline_matches_fixtures(fixture_root, method):
+    data = read_test_folder(os.path.join(fixture_root, "gaussian_20_16x16"), dtype=np.float32)
+    mean, var = gp.gp_mean_variance_host(
+        data["a"], data["b"], data["c"], data["d"], data["e"], method=method
+    )
+    assert np.abs(mean - data["means"]).max() < 1e-4
+    assert np.abs(var - data["variances"]).max() < 1e-4
+
+
+def test_gp_mean_and_variance_separate_entry_points(fixture_root):
+    data = read_test_folder(os.path.join(fixture_root, "gaussian_20_8x8"), dtype=np.float32)
+    mean = gp.gp_mean_host(data["a"], data["b"], data["c"], data["d"])
+    var = gp.gp_variance_host(data["a"], data["b"], data["c"], data["e"])
+    assert np.abs(mean - data["means"]).max() < 1e-4
+    assert np.abs(var - data["variances"]).max() < 1e-4
+
+
+def test_registry_lists_core_algorithms():
+    from cuda_matrix_inversion_tpu.ops.registry import list_inverse_algorithms
+
+    algs = list_inverse_algorithms()
+    for required in ("lu", "cholesky", "lu_cpu", "cholesky_cpu", "gauss_cpu"):
+        assert required in algs
