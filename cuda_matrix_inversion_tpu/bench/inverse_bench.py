@@ -1,0 +1,159 @@
+"""Batched-inversion benchmark CLI.
+
+Reference counterpart: ``src/inverse_bench.c`` — argv contract
+``TEST_FOLDER NUM_REPS NUM_DUPLICATES [-csv]`` (``inverse_bench.c:276-303``),
+six algorithms benchmarked side by side over replicated fixtures with
+Welford stats and an average-L1-error column vs the MATLAB inverse
+(``bench_parallel``, ``inverse_bench.c:76-238``).
+
+TPU notes:
+
+* Default timing is **device-resident**: batches staged in HBM once
+  (untimed), each rep times kernel execution with a sync — per the
+  BASELINE north star ("batches resident in HBM").  ``--transfers``
+  switches to the reference's convention of timing H2D+kernel+D2H
+  (``report/report.tex:104``); note that under the axon dev tunnel
+  host↔device transfers are ~1000× slower than production PCIe/DMA, so
+  that mode measures the tunnel, not the chip.  One untimed warmup rep
+  always runs first so XLA compilation is excluded.
+* The input-clobbering reference bug (its Cholesky wrappers write the
+  factor back into the caller's ``a``, ``inverse_cholesky_gpu.cu:442-443``,
+  corrupting reps ≥ 2 — SURVEY §2.4.2) is not reproduced: inputs are
+  immutable JAX arrays.
+* Alongside the reference's L1-vs-MATLAB column, the stricter BASELINE
+  gate metric max ‖AA⁻¹−I‖∞ is printed in human mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from cuda_matrix_inversion_tpu.bench.reporting import (
+    BenchReporter,
+    identity_error_inf,
+    l1_error,
+    print_device_info,
+)
+from cuda_matrix_inversion_tpu.io.mats import read_test_folder
+from cuda_matrix_inversion_tpu.io.replicate import replicate_matrices
+
+# Default algorithm roster — the analog of the six-way comparison in
+# ``inverse_bench.c:84-89``. CPU rows are the LAPACK oracle; device rows
+# run on TPU.
+DEFAULT_ALGORITHMS = (
+    "lu_cpu",
+    "cholesky_cpu",
+    "lu",
+    "cholesky",
+    "gauss_pallas",
+    "cholesky_pallas",
+)
+
+
+def run_bench(
+    folder: str,
+    num_reps: int,
+    num_duplicates: int,
+    csv: bool = False,
+    algorithms=DEFAULT_ALGORITHMS,
+    dtype=np.float32,
+    transfers: bool = False,
+    stream=None,
+) -> BenchReporter:
+    import jax
+
+    from cuda_matrix_inversion_tpu.ops.registry import (
+        get_inverse_algorithm,
+        list_inverse_algorithms,
+    )
+
+    data = read_test_folder(folder, kind="inverse", dtype=dtype)
+    a = replicate_matrices(data["a"], num_duplicates)
+    a_inv_ref = replicate_matrices(data["aInv"], num_duplicates) if "aInv" in data else None
+    num_matrices, n, _ = a.shape
+
+    stream = stream or sys.stdout
+    rep = BenchReporter(num_matrices, n, num_reps, csv=csv, stream=stream)
+    if not csv:
+        print_device_info(stream)
+
+    available = set(list_inverse_algorithms())
+    for name in algorithms:
+        if name not in available:
+            continue  # e.g. Pallas kernels not importable on this backend
+        fn = get_inverse_algorithm(name)
+        is_cpu = name.endswith("_cpu")
+        entry = rep.entry(name)
+
+        if is_cpu:
+            inv = None
+            for _ in range(num_reps):
+                entry.timer.start()
+                inv = fn(a)
+                entry.timer.stop()
+        elif transfers:
+            jfn = jax.jit(fn)
+            jfn(jax.device_put(a)).block_until_ready()  # compile outside timers
+            inv = None
+            for _ in range(num_reps):
+                entry.timer.start()
+                # reference-parity mode: H2D + kernel + D2H in-timer
+                inv = np.asarray(jax.device_get(jfn(jax.device_put(a))))
+                entry.timer.stop()
+        else:
+            # device-resident mode: dependency-chained slope timing (see
+            # bench/timing.py — plain block_until_ready is untrustworthy
+            # through the axon tunnel). Each trial yields one rep sample.
+            from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
+
+            jfn = jax.jit(fn)
+            for _ in range(num_reps):
+                sec = chained_op_seconds(fn, a, iters=4, trials=1)
+                entry.timer.stats.add(max(sec, 0.0))
+                entry.timer.last_seconds = max(sec, 0.0)
+            inv = np.asarray(jax.device_get(jfn(jax.device_put(a))))
+
+        extra = {}
+        if a_inv_ref is not None:
+            entry.total_error = l1_error(inv, a_inv_ref, num_matrices)
+        extra["max ||AA^-1 - I||_inf"] = f"{identity_error_inf(a, inv):.3e}"
+        rep.report(name, extra_metrics=extra)
+    return rep
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="inverse_bench",
+        description="Batched matrix inversion benchmark (TPU rebuild of src/inverse_bench.c)",
+    )
+    p.add_argument("test_folder")
+    p.add_argument("num_reps", type=int)
+    p.add_argument("num_duplicates", type=int)
+    p.add_argument("-csv", action="store_true", dest="csv")
+    p.add_argument("--algorithms", nargs="+", default=list(DEFAULT_ALGORITHMS))
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    p.add_argument("--transfers", action="store_true",
+                   help="time H2D+kernel+D2H per rep (reference parity) instead of device-resident")
+    args = p.parse_args(argv)
+
+    if args.dtype == "float64":
+        from cuda_matrix_inversion_tpu.types import enable_x64
+
+        enable_x64()
+    run_bench(
+        args.test_folder,
+        args.num_reps,
+        args.num_duplicates,
+        csv=args.csv,
+        algorithms=args.algorithms,
+        dtype=np.dtype(args.dtype),
+        transfers=args.transfers,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

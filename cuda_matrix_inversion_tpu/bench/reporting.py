@@ -1,0 +1,135 @@
+"""Benchmark reporting: the reference's two output formats, byte-compatible.
+
+Reference counterparts: the ``BENCH_REPORT`` macro family
+(``src/inverse_bench.c:41-74``, ``src/gauss_bench.cu:478-532``) and the
+``TIMER_LOG`` phase CSV (``include/timer.h:8-9``).
+
+Formats produced:
+
+* csv, reps==1:  ``numMatrices N numReps name total_ms avg_error``
+* csv, reps>1:   ``numMatrices N numReps name total_ms mean_ms var_ms avg_error``
+* human:         ``name - B NxN matrices, replicated R times, runtime ...``
+* detailed phase lines: ``name,numMatrices,n,ms,ns``
+
+so the reference's MATLAB analysis scripts (``results/generate_plots.m``,
+``plotdimension.m``) parse our output unchanged.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Optional, TextIO
+
+import numpy as np
+
+from cuda_matrix_inversion_tpu.utils.timer import Timer
+
+
+def l1_error(x: np.ndarray, ref: np.ndarray, num_matrices: int) -> float:
+    """Average per-matrix L1 distance (ref ``vec_diff``+``vec_sum``,
+    ``src/gauss_bench.cu:470-476``; ``inverse_bench.c:49-51``)."""
+    return float(np.abs(np.asarray(x, dtype=np.float64) - np.asarray(ref, dtype=np.float64)).sum() / num_matrices)
+
+
+def identity_error_inf(a: np.ndarray, a_inv: np.ndarray) -> float:
+    """The upgraded gate metric: max ‖AA⁻¹−I‖∞ over the batch
+    (BASELINE.json: < 1e-4 fp32)."""
+    a64 = np.asarray(a, dtype=np.float64)
+    prod = a64 @ np.asarray(a_inv, dtype=np.float64)
+    n = a.shape[-1]
+    resid = np.abs(prod - np.eye(n))
+    return float(resid.sum(axis=-1).max())  # ∞-norm = max row sum
+
+
+@dataclass
+class BenchEntry:
+    name: str
+    timer: Timer
+    total_error: float = 0.0
+
+    @property
+    def total_ms(self) -> float:
+        return self.timer.stats.total * 1e3
+
+    @property
+    def mean_ms(self) -> float:
+        return self.timer.stats.mean * 1e3
+
+    @property
+    def var_ms(self) -> float:
+        return self.timer.stats.variance * 1e6
+
+
+@dataclass
+class BenchReporter:
+    num_matrices: int
+    n: int
+    num_reps: int
+    csv: bool = False
+    stream: TextIO = field(default_factory=lambda: sys.stdout)
+    entries: dict = field(default_factory=dict)
+
+    def entry(self, name: str) -> BenchEntry:
+        if name not in self.entries:
+            self.entries[name] = BenchEntry(name, Timer(name))
+        return self.entries[name]
+
+    def report(self, name: str, extra_metrics: Optional[dict] = None) -> None:
+        e = self.entries[name]
+        avg_err = e.total_error / self.num_matrices
+        if self.csv:
+            if self.num_reps > 1:
+                print(
+                    f"{self.num_matrices} {self.n} {self.num_reps} {name} "
+                    f"{e.total_ms:e} {e.mean_ms:e} {e.var_ms:e} {avg_err:e}",
+                    file=self.stream,
+                )
+            else:
+                print(
+                    f"{self.num_matrices} {self.n} {self.num_reps} {name} "
+                    f"{e.total_ms:e} {avg_err:e}",
+                    file=self.stream,
+                )
+        else:
+            if self.num_reps > 1:
+                print(
+                    f"{name} - {self.num_matrices} {self.n}x{self.n} matrices, "
+                    f"replicated {self.num_reps} times, runtime {e.total_ms:.4f} ms "
+                    f"({e.mean_ms:.4f} ms average, {e.var_ms:.4f} ms variance), "
+                    f"average error {avg_err:.4e}",
+                    file=self.stream,
+                )
+            else:
+                print(
+                    f"{name} - {self.num_matrices} {self.n}x{self.n} matrices, "
+                    f"replicated {self.num_reps} times, runtime {e.total_ms:.4f} ms, "
+                    f"average error {avg_err:.4e}",
+                    file=self.stream,
+                )
+        if extra_metrics and not self.csv:
+            for k, v in extra_metrics.items():
+                print(f"  {k}: {v}", file=self.stream)
+
+    def report_all(self) -> None:
+        for name in self.entries:
+            self.report(name)
+
+
+def print_device_info(stream: TextIO = None) -> None:
+    """Device capability dump (ref ``printDevProp``,
+    ``src/gauss_bench.cu:535-575``)."""
+    import jax
+
+    stream = stream or sys.stdout
+    for d in jax.devices():
+        print(
+            f"device: {d.device_kind} id={d.id} platform={d.platform} "
+            f"process={d.process_index}",
+            file=stream,
+        )
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            lim = stats.get("bytes_limit")
+            if lim:
+                print(f"  HBM bytes_limit: {lim}", file=stream)

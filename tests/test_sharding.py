@@ -1,0 +1,74 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+from cuda_matrix_inversion_tpu.parallel.mesh import batch_mesh, pad_to_multiple
+from cuda_matrix_inversion_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    return batch_mesh(8)
+
+
+def _identity_err(a, a_inv):
+    prod = np.asarray(a, dtype=np.float64) @ np.asarray(a_inv, dtype=np.float64)
+    return np.abs(prod - np.eye(a.shape[-1])).max()
+
+
+def test_sharded_inverse(mesh, rng):
+    a = make_spd_batch(16, 16, rng).astype(np.float32)
+    out = sharded.sharded_inverse(mesh, a, algorithm="lu")
+    # result really is sharded over the batch axis
+    assert len(out.sharding.device_set) == 8
+    assert _identity_err(a, np.asarray(out)) < 1e-4
+
+
+def test_sharded_inverse_shard_map(mesh, rng):
+    a = make_spd_batch(16, 8, rng).astype(np.float32)
+    out = sharded.sharded_inverse_shard_map(mesh, a, algorithm="cholesky")
+    assert _identity_err(a, np.asarray(out)) < 1e-4
+
+
+def test_shard_map_matches_annotated(mesh, rng):
+    a = make_spd_batch(8, 8, rng).astype(np.float32)
+    o1 = np.asarray(sharded.sharded_inverse(mesh, a))
+    o2 = np.asarray(sharded.sharded_inverse_shard_map(mesh, a))
+    np.testing.assert_allclose(o1, o2, atol=1e-5)
+
+
+def test_sharded_gp_pipeline(mesh, rng):
+    n, batch = 16, 24
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    a = rng.random((batch, n, 1), dtype=np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32)
+    d = rng.random((batch, n, 1), dtype=np.float32)
+    e = rng.random((batch, 1, 1), dtype=np.float32)
+
+    mean, var = sharded.sharded_gp_mean_variance(mesh, a, b, c, d, e)
+    # float64 oracle
+    k = b.astype(np.float64) + np.eye(n) * c[:, :, 0][:, None, :]
+    kinv = np.linalg.inv(k)
+    mean_ref = np.transpose(a, (0, 2, 1)) @ (kinv @ d)
+    var_ref = e - np.transpose(a, (0, 2, 1)) @ (kinv @ a)
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), var_ref, atol=1e-4)
+
+    m2, v2 = sharded.sharded_gp_shard_map(mesh, a, b, c, d, e)
+    np.testing.assert_allclose(np.asarray(m2), mean_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v2), var_ref, atol=1e-4)
+
+
+def test_pad_to_multiple(rng):
+    a = make_spd_batch(13, 4, rng)
+    padded, orig = pad_to_multiple(a, 8)
+    assert padded.shape[0] == 16 and orig == 13
+    np.testing.assert_array_equal(padded[13], a[12])
+
+    same, orig = pad_to_multiple(a[:8], 8)
+    assert same.shape[0] == 8 and orig == 8
