@@ -46,6 +46,12 @@ def _kinv_apply(b, c, rhs, method: str):
         # the reference GPU pipeline's choice: batched LU inversion
         # (``batchedInverse`` → cuBLAS LU, ``src/gauss_bench.cu:63-85``)
         return jnp.matmul(ops.inverse_lu(k), rhs, precision=_PREC)
+    if method == "newton_schulz":
+        from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+            inverse_newton_schulz,
+        )
+
+        return jnp.matmul(inverse_newton_schulz(k), rhs, precision=_PREC)
     raise ValueError(f"unknown method {method!r}")
 
 

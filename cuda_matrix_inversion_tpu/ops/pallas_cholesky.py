@@ -1,0 +1,300 @@
+"""Pallas batched Cholesky: factorize → triangular-inverse → multiply, fused.
+
+Replaces all three CUDA Cholesky kernel families of the reference
+(``src/inverse_cholesky_gpu.cu``): the "stride" variant (:53-247), the
+"simple" per-column launch-loop variant (:249-459), and the shared-memory
+"mm" variant (:462-765).  Their common structure — decompose, invert the
+triangular factor, multiply L⁻ᵀL⁻¹ — is fused here into ONE kernel launch
+for the whole batch; the reference's per-column host launch storm (4
+kernels × N columns, ``inverse_cholesky_gpu.cu:333-350``, measured at
+465 ms for 100×128 — BASELINE §3) becomes an in-kernel ``fori_loop``.
+
+TPU mapping:
+
+* grid = batch/BM; each grid cell stages BM whole matrices in VMEM
+  (the analog of the mm variant's shared-memory staging, ``:465-515``,
+  but VMEM is ~16 MB vs 48 KB so we hold 8 full 128×128 fp32 matrices
+  plus scratch, no packed-triangular indexing needed).
+* the factorization is right-looking with vectorized rank-1 updates over
+  (BM, N, N) — all BM matrices advance column-by-column in lockstep on
+  the VPU; there is no cross-matrix divergence because the loop bound is
+  static.
+* the inverse-multiply phase computes W = L⁻¹ by forward substitution
+  (batched row-matvec per step) and A⁻¹ = WᵀW as one batched MXU matmul —
+  the analog of ``multiply_lower_mm_kernel_device`` (:563-604) without
+  its shared-memory atomicAdd reductions (:588): the MXU does the
+  reduction.
+
+Accuracy: all arithmetic fp32 in VMEM; matmuls carry
+``preferred_element_type=float32``.  Gate: max ‖AA⁻¹−I‖∞ < 1e-4 fp32
+(BASELINE.json), enforced by tests/test_pallas_chol.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_matrix_inversion_tpu.ops.pallas_common import (
+    block_batch,
+    default_interpret,
+    pad_batch,
+)
+
+
+def _lane_select(vec: jnp.ndarray, k) -> jnp.ndarray:
+    """Extract element k of each (lane-indexed) row: (BM, N) → (BM, 1).
+
+    Mosaic forbids dynamic indexing on the lane (last) dimension, so
+    scalars come out via a one-hot reduction instead.
+    """
+    bm, n = vec.shape
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    return jnp.sum(jnp.where(lanes == k, vec, 0.0), axis=1, keepdims=True)
+
+
+def _cholesky_factor_body(n: int, work_ref, lt_ref):
+    """In-place right-looking Cholesky over a (BM, N, N) VMEM block.
+
+    ``work_ref`` holds A and stays *symmetric* under the trailing rank-1
+    updates, so column k can be read as row k — keeping every dynamic
+    slice on the sublane dimension (lane-dim dynamic indexing is illegal
+    in Mosaic).  The factor is emitted TRANSPOSED into ``lt_ref``
+    (row k of Lᵀ = column k of L) for the same reason.  ``work_ref`` is
+    destroyed.
+    """
+    bm = work_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+
+    def body(k, _):
+        col = work_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, N) — row k = col k
+        akk = _lane_select(col, k)  # (BM, 1)
+        inv_d = 1.0 / jnp.sqrt(akk)  # not lax.rsqrt: TPU rsqrt is approximate
+        lcol = jnp.where(lanes > k, col * inv_d, 0.0)
+        lcol = jnp.where(lanes == k, akk * inv_d, lcol)  # elem k: sqrt(akk)
+        lt_ref[:, pl.ds(k, 1), :] = lcol[:, None, :]
+        # trailing rank-1 update: A -= lcol lcolᵀ (zero outside i,j >= k)
+        work_ref[:, :, :] = work_ref[:, :, :] - lcol[:, :, None] * lcol[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _triangular_inverse_body(n: int, lt_ref, w_ref):
+    """W = L⁻¹ by vectorized forward elimination over a (BM, N, N) block.
+
+    Gauss-Jordan on [L | I] specialized to lower-triangular L: because a
+    normalized pivot row of the left half is e_k, earlier eliminations
+    never touch later columns of L — so the pivot column at step k is
+    simply L[:, k] (= row k of ``lt_ref``) and only W needs updating.
+    Each step is one rank-1 VPU update, the same shape as the
+    factorization loop (this replaces the reference's
+    ``inverse_upper_kernel_device`` / ``inverse_lower_mm`` substitution
+    kernels, ``inverse_cholesky_gpu.cu:286-301,517-561``).
+    """
+    bm = lt_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.float32)
+    w_ref[:, :, :] = jnp.broadcast_to(eye, (bm, n, n))
+
+    def body(k, _):
+        lcol = lt_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, N): L[:, i, k] over lanes i
+        lkk = _lane_select(lcol, k)  # (BM, 1)
+        wrow = w_ref[:, pl.ds(k, 1), :][:, 0, :] / lkk  # (BM, N)
+        factor = jnp.where(lanes > k, lcol, 0.0)
+        w_ref[:, :, :] = w_ref[:, :, :] - factor[:, :, None] * wrow[:, None, :]
+        w_ref[:, pl.ds(k, 1), :] = wrow[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+_HI = jax.lax.Precision.HIGHEST  # true fp32 on the MXU (3-pass bf16)
+
+
+def _mm(lhs, rhs, contract=((1,), (0,))):
+    return jax.lax.dot_general(
+        lhs, rhs,
+        dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+
+def _chol_inverse_kernel(a_ref, out_ref, work_ref, l_ref, w_ref):
+    """Naive (rank-1) path — used for small N where blocking can't help."""
+    n = a_ref.shape[-1]
+    work_ref[:, :, :] = a_ref[:, :, :]
+    _cholesky_factor_body(n, work_ref, l_ref)
+    _triangular_inverse_body(n, l_ref, w_ref)
+    # A⁻¹ = Wᵀ W — per-matrix 2D MXU matmuls (Mosaic's dot wants rank 2)
+    bm = a_ref.shape[0]
+    for b in range(bm):
+        w_b = w_ref[b, :, :]
+        out_ref[b, :, :] = _mm(w_b, w_b, contract=((0,), (0,)))
+
+
+def _blocked_chol_inverse_kernel(pw: int, a_ref, out_ref, work_ref, lt_ref,
+                                 w_ref, dblk_ref, dlt_ref, dw_ref, dws_ref):
+    """Blocked SPD inverse: two-level blocking so the O(n³) work rides the
+    MXU instead of per-column VPU passes.
+
+    This is the TPU answer to the reference's observation that per-column
+    loops are the killer (its simple-Cholesky spends 465 ms in an
+    N-iteration launch loop, BASELINE §3).  Structure per panel of
+    ``pw`` columns (all slices static — Mosaic forbids dynamic lane
+    offsets):
+
+    1. factor the pw×pw diagonal block with the vectorized rank-1 loop
+       (cheap: (BM, pw, pw) tiles) and invert its factor;
+    2. panel rows of Lᵀ = Ld⁻¹ · R via one (pw,pw)@(pw,N) MXU matmul per
+       matrix (R = panel row-slab ≡ column-slab by symmetry of work);
+    3. trailing update work −= Pᵀ P as one (N,pw)@(pw,N) MXU matmul per
+       matrix — the rank-pw analog of the reference's rank-1
+       ``transform_matrix`` elimination.
+
+    Then W = L⁻¹ by *block* forward substitution (one matmul pair per
+    panel), and A⁻¹ = WᵀW on the MXU.
+    """
+    bm, n, _ = a_ref.shape
+    np_ = n // pw
+    work_ref[:, :, :] = a_ref[:, :, :]
+
+    sub_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, n), 0)
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (pw, n), 1)
+
+    # ---- Phase 1: blocked factorization → lt_ref rows are Lᵀ ----
+    for p in range(np_):
+        k0 = p * pw
+        dblk_ref[:, :, :] = work_ref[:, k0:k0 + pw, k0:k0 + pw]
+        _cholesky_factor_body(pw, dblk_ref, dlt_ref)
+        _triangular_inverse_body(pw, dlt_ref, dw_ref)  # dw = Ld⁻¹
+        dws_ref[:, k0:k0 + pw, :] = dw_ref[:, :, :]
+        tri_mask = lane_n >= (sub_pw + k0)  # lower-tri in Lᵀ row space
+        for b in range(bm):
+            ltp = _mm(dw_ref[b, :, :], work_ref[b, k0:k0 + pw, :])
+            lt_ref[b, k0:k0 + pw, :] = jnp.where(tri_mask, ltp, 0.0)
+        if p < np_ - 1:
+            for b in range(bm):
+                ltp = lt_ref[b, k0:k0 + pw, :]
+                work_ref[b, :, :] = work_ref[b, :, :] - _mm(
+                    ltp, ltp, contract=((0,), (0,)))
+
+    # ---- Phase 2: W = L⁻¹ by block forward substitution ----
+    for p in range(np_):
+        k0 = p * pw
+        eye_blk = ((sub_pw + k0) == lane_n).astype(jnp.float32)  # (pw, n)
+        for b in range(bm):
+            if p == 0:
+                rhs = eye_blk
+            else:
+                # S = L[k0:k0+pw, :k0] @ W[:k0, :] = LT[:k0, k0:k0+pw]ᵀ W[:k0, :]
+                s = _mm(lt_ref[b, 0:k0, k0:k0 + pw], w_ref[b, 0:k0, :],
+                        contract=((0,), (0,)))
+                rhs = eye_blk - s
+            w_ref[b, k0:k0 + pw, :] = _mm(dws_ref[b, k0:k0 + pw, :], rhs)
+
+    # ---- Phase 3: A⁻¹ = Wᵀ W ----
+    for b in range(bm):
+        w_b = w_ref[b, :, :]
+        out_ref[b, :, :] = _mm(w_b, w_b, contract=((0,), (0,)))
+
+
+def _chol_factor_kernel(a_ref, out_ref, work_ref, lt_ref):
+    n = a_ref.shape[-1]
+    work_ref[:, :, :] = a_ref[:, :, :]
+    lt_ref[:, :, :] = jnp.zeros_like(lt_ref)
+    _cholesky_factor_body(n, work_ref, lt_ref)
+    for b in range(a_ref.shape[0]):  # emit L = (Lᵀ)ᵀ, one 2D transpose each
+        out_ref[b, :, :] = lt_ref[b, :, :].T
+
+
+def _panel_width(n: int) -> int | None:
+    """Blocked-path panel width, or None → use the naive rank-1 kernel."""
+    if n >= 64:
+        for pw in (32, 16, 8):
+            if n % pw == 0:
+                return pw
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """Batched SPD inversion, one fused Pallas launch.
+
+    Drop-in for :func:`cuda_matrix_inversion_tpu.ops.xla.inverse_cholesky`
+    (reference API: ``inverse_cholesky_batched_device`` +
+    ``inverse_cholesky_mm_batched_device``, ``include/inverse_gpu.h:19-23``).
+    Dispatches to the MXU-blocked kernel for n ≥ 64, the vectorized
+    rank-1 kernel below that.
+    """
+    batch, n, _ = a.shape
+    orig_dtype = a.dtype
+    a = a.astype(jnp.float32)
+    bm = block_batch(batch, n) if block is None else block
+    a_p, orig = pad_batch(a, bm)
+    grid = a_p.shape[0] // bm
+
+    pw = _panel_width(n)
+    if pw is None:
+        kernel = _chol_inverse_kernel
+        scratch = [pltpu.VMEM((bm, n, n), jnp.float32)] * 3
+    else:
+        kernel = functools.partial(_blocked_chol_inverse_kernel, pw)
+        scratch = [
+            pltpu.VMEM((bm, n, n), jnp.float32),   # work
+            pltpu.VMEM((bm, n, n), jnp.float32),   # lt
+            pltpu.VMEM((bm, n, n), jnp.float32),   # w
+            pltpu.VMEM((bm, pw, pw), jnp.float32),  # dblk
+            pltpu.VMEM((bm, pw, pw), jnp.float32),  # dlt
+            pltpu.VMEM((bm, pw, pw), jnp.float32),  # dw
+            pltpu.VMEM((bm, n, pw), jnp.float32),   # dws (saved Ld⁻¹ per panel)
+        ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
+        scratch_shapes=scratch,
+        interpret=default_interpret(interpret),
+    )(a_p)
+    return out[:orig].astype(orig_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def cholesky(a: jnp.ndarray, block: int | None = None,
+             interpret: bool | None = None) -> jnp.ndarray:
+    """Batched lower Cholesky factor (analog of
+    ``decompose_cholesky_batched_device``, ``inverse_cholesky_gpu.cu:357-369``)."""
+    batch, n, _ = a.shape
+    orig_dtype = a.dtype
+    a = a.astype(jnp.float32)
+    bm = block_batch(batch, n) if block is None else block
+    a_p, orig = pad_batch(a, bm)
+    grid = a_p.shape[0] // bm
+
+    out = pl.pallas_call(
+        _chol_factor_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bm, n, n), jnp.float32),
+            pltpu.VMEM((bm, n, n), jnp.float32),
+        ],
+        interpret=default_interpret(interpret),
+    )(a_p)
+    return out[:orig].astype(orig_dtype)

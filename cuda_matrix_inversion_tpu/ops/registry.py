@@ -30,6 +30,9 @@ def _populate() -> None:
     # device (TPU) paths — analog of the reference's *_batched_device family
     register_inverse("lu", xla.inverse_lu)
     register_inverse("cholesky", xla.inverse_cholesky)
+    from cuda_matrix_inversion_tpu.ops import newton_schulz
+
+    register_inverse("newton_schulz", newton_schulz.inverse_newton_schulz)
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan
 
