@@ -51,6 +51,7 @@ def run_bench(
     stream=None,
 ) -> BenchReporter:
     import jax
+    import jax.numpy as jnp
 
     from cuda_matrix_inversion_tpu.models import gp
     from cuda_matrix_inversion_tpu.ops import cpu_reference as cpu
@@ -85,8 +86,16 @@ def run_bench(
         rep.report("variances_cpu")
 
     # --- device phase: fused jit pipelines on TPU ---
-    mean_j = lambda *xs: gp.gp_mean(*xs, method=method)  # noqa: E731
-    var_j = lambda *xs: gp.gp_variance(*xs, method=method)  # noqa: E731
+    if method == "pallas":
+        # single-launch fused kernel computes both; split for the two timers
+        mean_j = lambda a_, b_, c_, d_: gp.gp_mean_variance(  # noqa: E731
+            a_, b_, c_, d_, jnp.zeros((a_.shape[0], 1, 1), a_.dtype),
+            method="pallas")[0]
+        var_j = lambda a_, b_, c_, e_: gp.gp_mean_variance(  # noqa: E731
+            a_, b_, c_, a_, e_, method="pallas")[1]
+    else:
+        mean_j = lambda *xs: gp.gp_mean(*xs, method=method)  # noqa: E731
+        var_j = lambda *xs: gp.gp_variance(*xs, method=method)  # noqa: E731
 
     put = jax.device_put
     a_d, b_d, c_d, d_d, e_d = put(a), put(b), put(c), put(d), put(e)
@@ -199,8 +208,10 @@ def main(argv=None) -> int:
     p.add_argument("num_reps", type=int)
     p.add_argument("num_duplicates", type=int)
     p.add_argument("-csv", action="store_true", dest="csv")
-    p.add_argument("--method", default="solve", choices=["solve", "inverse", "lu"],
-                   help="solve = the reference's -DGAUSS_SOLVE build; lu = its GPU pipeline")
+    p.add_argument("--method", default="solve",
+                   choices=["solve", "inverse", "lu", "newton_schulz", "pallas"],
+                   help="solve = the reference's -DGAUSS_SOLVE build; lu = its "
+                        "GPU pipeline; pallas = single fused kernel launch")
     p.add_argument("--stages", action="store_true",
                    help="emit the DETAILED_LOGGING per-stage split (un-fused)")
     p.add_argument("--skip-cpu", action="store_true")

@@ -77,7 +77,14 @@ def gp_variance(a, b, c, e, method: str = "solve"):
 def gp_mean_variance(a, b, c, d, e, method: str = "solve"):
     """Fused mean+variance: one factorization, one 2-RHS solve — the
     composition the reference runs as two full pipelines
-    (``gauss_bench.cu:672-689``) collapses to a single kernel graph."""
+    (``gauss_bench.cu:672-689``) collapses to a single kernel graph.
+
+    ``method='pallas'`` dispatches to the single-launch Pallas kernel
+    (:mod:`..ops.pallas_gp`) — the BASELINE north-star configuration."""
+    if method == "pallas":
+        from cuda_matrix_inversion_tpu.ops.pallas_gp import gp_mean_variance_fused
+
+        return gp_mean_variance_fused(a, b, c, d, e)
     rhs = jnp.concatenate([d, a], axis=-1)  # (batch, n, 2)
     x = _kinv_apply(b, c, rhs, method)
     at = jnp.swapaxes(a, -1, -2)

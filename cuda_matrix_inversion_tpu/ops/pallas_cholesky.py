@@ -139,31 +139,13 @@ def _chol_inverse_kernel(a_ref, out_ref, work_ref, l_ref, w_ref):
         out_ref[b, :, :] = _mm(w_b, w_b, contract=((0,), (0,)))
 
 
-def _blocked_chol_inverse_kernel(pw: int, a_ref, out_ref, work_ref, lt_ref,
-                                 w_ref, dblk_ref, dlt_ref, dw_ref, dws_ref):
-    """Blocked SPD inverse: two-level blocking so the O(n³) work rides the
-    MXU instead of per-column VPU passes.
-
-    This is the TPU answer to the reference's observation that per-column
-    loops are the killer (its simple-Cholesky spends 465 ms in an
-    N-iteration launch loop, BASELINE §3).  Structure per panel of
-    ``pw`` columns (all slices static — Mosaic forbids dynamic lane
-    offsets):
-
-    1. factor the pw×pw diagonal block with the vectorized rank-1 loop
-       (cheap: (BM, pw, pw) tiles) and invert its factor;
-    2. panel rows of Lᵀ = Ld⁻¹ · R via one (pw,pw)@(pw,N) MXU matmul per
-       matrix (R = panel row-slab ≡ column-slab by symmetry of work);
-    3. trailing update work −= Pᵀ P as one (N,pw)@(pw,N) MXU matmul per
-       matrix — the rank-pw analog of the reference's rank-1
-       ``transform_matrix`` elimination.
-
-    Then W = L⁻¹ by *block* forward substitution (one matmul pair per
-    panel), and A⁻¹ = WᵀW on the MXU.
-    """
-    bm, n, _ = a_ref.shape
+def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
+                  dws_ref):
+    """Blocked factor + triangular inverse: fills ``lt_ref`` (rows of Lᵀ)
+    and ``w_ref`` (W = L⁻¹) from the symmetric matrix in ``work_ref``
+    (destroyed).  Shared by the inverse kernel and the fused GP kernel."""
+    bm, n, _ = work_ref.shape
     np_ = n // pw
-    work_ref[:, :, :] = a_ref[:, :, :]
 
     sub_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, n), 0)
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (pw, n), 1)
@@ -199,6 +181,33 @@ def _blocked_chol_inverse_kernel(pw: int, a_ref, out_ref, work_ref, lt_ref,
                 rhs = eye_blk - s
             w_ref[b, k0:k0 + pw, :] = _mm(dws_ref[b, k0:k0 + pw, :], rhs)
 
+
+def _blocked_chol_inverse_kernel(pw: int, a_ref, out_ref, work_ref, lt_ref,
+                                 w_ref, dblk_ref, dlt_ref, dw_ref, dws_ref):
+    """Blocked SPD inverse: two-level blocking so the O(n³) work rides the
+    MXU instead of per-column VPU passes.
+
+    This is the TPU answer to the reference's observation that per-column
+    loops are the killer (its simple-Cholesky spends 465 ms in an
+    N-iteration launch loop, BASELINE §3).  Structure per panel of
+    ``pw`` columns (all slices static — Mosaic forbids dynamic lane
+    offsets):
+
+    1. factor the pw×pw diagonal block with the vectorized rank-1 loop
+       (cheap: (BM, pw, pw) tiles) and invert its factor;
+    2. panel rows of Lᵀ = Ld⁻¹ · R via one (pw,pw)@(pw,N) MXU matmul per
+       matrix (R = panel row-slab ≡ column-slab by symmetry of work);
+    3. trailing update work −= Pᵀ P as one (N,pw)@(pw,N) MXU matmul per
+       matrix — the rank-pw analog of the reference's rank-1
+       ``transform_matrix`` elimination.
+
+    Then W = L⁻¹ by *block* forward substitution (one matmul pair per
+    panel), and A⁻¹ = WᵀW on the MXU.
+    """
+    bm = a_ref.shape[0]
+    work_ref[:, :, :] = a_ref[:, :, :]
+    _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
+                  dws_ref)
     # ---- Phase 3: A⁻¹ = Wᵀ W ----
     for b in range(bm):
         w_b = w_ref[b, :, :]
