@@ -1,0 +1,82 @@
+"""Full benchmark sweep — the Makefile's run-*-bench targets as a CLI.
+
+Reference counterpart: ``Makefile:202-220`` — sweeps dims {8..128} ×
+duplicates {1,2,4,8,16} over the fixture tree, appending CSV rows to
+``results/inverse-bench.txt`` / ``results/gauss-bench.txt``; env knobs
+``BENCH_REPS``/``BENCH_MAX_DUPS`` (``Makefile:17-19``).
+
+Usage::
+
+    python -m cuda_matrix_inversion_tpu.bench.sweep inverse FIXTURE_ROOT \
+        --out results/inverse-bench.txt
+    python -m cuda_matrix_inversion_tpu.bench.sweep gauss FIXTURE_ROOT \
+        --out results/gauss-bench.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+
+
+def _find_fixture_dirs(root: str, kind: str):
+    pat = "gaussian_*" if kind == "gauss" else "inverse_*"
+    dirs = []
+    for d in sorted(glob.glob(os.path.join(root, pat))):
+        m = re.search(r"_(\d+)x(\d+)$", d)
+        if m:
+            dirs.append((int(m.group(1)), d))
+    return [d for _, d in sorted(dirs)]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="benchmark sweep (ref Makefile run-*-bench)")
+    p.add_argument("kind", choices=["inverse", "gauss"])
+    p.add_argument("fixture_root")
+    p.add_argument("--reps", type=int, default=int(os.environ.get("BENCH_REPS", 10)))
+    p.add_argument("--max-dups", type=int,
+                   default=int(os.environ.get("BENCH_MAX_DUPS", 16)))
+    p.add_argument("--out", default=None, help="append CSV rows here (default stdout)")
+    p.add_argument("--algorithms", nargs="+", default=None)
+    p.add_argument("--method", default="solve")
+    args = p.parse_args(argv)
+
+    dirs = _find_fixture_dirs(args.fixture_root, args.kind)
+    if not dirs:
+        print(f"no {args.kind} fixture dirs under {args.fixture_root}", file=sys.stderr)
+        return 1
+
+    dups = [1]
+    while dups[-1] * 2 <= args.max_dups:
+        dups.append(dups[-1] * 2)
+
+    stream = open(args.out, "a") if args.out else sys.stdout
+    try:
+        for d in dirs:
+            for dup in dups:
+                if args.kind == "inverse":
+                    from cuda_matrix_inversion_tpu.bench.inverse_bench import (
+                        DEFAULT_ALGORITHMS,
+                        run_bench,
+                    )
+
+                    run_bench(d, args.reps, dup, csv=True,
+                              algorithms=args.algorithms or DEFAULT_ALGORITHMS,
+                              stream=stream)
+                else:
+                    from cuda_matrix_inversion_tpu.bench.gauss_bench import run_bench
+
+                    run_bench(d, args.reps, dup, csv=True, method=args.method,
+                              stream=stream)
+                stream.flush()
+    finally:
+        if args.out:
+            stream.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

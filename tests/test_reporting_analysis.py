@@ -1,0 +1,121 @@
+"""Tests for reporting formats, stage logging, plots, sweep, membench."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from cuda_matrix_inversion_tpu.analysis import plots
+from cuda_matrix_inversion_tpu.bench.reporting import BenchReporter, l1_error
+from cuda_matrix_inversion_tpu.utils.profiling import StageLogger
+from cuda_matrix_inversion_tpu.utils.timer import Timer, WelfordAccumulator
+
+
+def test_welford_matches_numpy():
+    rng = np.random.default_rng(3)
+    xs = rng.random(100)
+    acc = WelfordAccumulator()
+    for x in xs:
+        acc.add(float(x))
+    assert abs(acc.mean - xs.mean()) < 1e-12
+    assert abs(acc.variance - xs.var(ddof=1)) < 1e-12
+    assert abs(acc.total - xs.sum()) < 1e-12
+
+
+def test_timer_log_line_schema():
+    t = Timer("means_cpu")
+    t.start()
+    t.stop()
+    line = t.log_line(100, 128)
+    parts = line.split(",")
+    assert parts[0] == "means_cpu" and parts[1] == "100" and parts[2] == "128"
+    assert len(parts) == 5  # name,numMatrices,n,ms,ns — ref timer.h:8-9
+
+
+def test_bench_reporter_csv_formats():
+    buf = io.StringIO()
+    rep = BenchReporter(100, 32, 1, csv=True, stream=buf)
+    e = rep.entry("lu")
+    e.timer.start(); e.timer.stop()
+    e.total_error = 0.5
+    rep.report("lu")
+    parts = buf.getvalue().split()
+    assert len(parts) == 6  # reps==1 → 6-column format (inverse_bench.c:59-61)
+    assert parts[:4] == ["100", "32", "1", "lu"]
+
+    buf = io.StringIO()
+    rep = BenchReporter(100, 32, 3, csv=True, stream=buf)
+    e = rep.entry("lu")
+    for _ in range(3):
+        e.timer.start(); e.timer.stop()
+    rep.report("lu")
+    assert len(buf.getvalue().split()) == 8  # reps>1 → 8-column format
+
+
+def test_stage_logger_schema():
+    buf = io.StringIO()
+    log = StageLogger(100, 16, stream=buf)
+    with log.stage("calculate_mean_gpu_add"):
+        pass
+    line = buf.getvalue().strip()
+    assert line.startswith("calculate_mean_gpu_add,100,16,")
+    assert len(line.split(",")) == 5
+
+
+def test_l1_error_matches_reference_semantics():
+    x = np.ones((2, 2, 2))
+    ref = np.zeros((2, 2, 2))
+    # sum of |diff| over everything / num_matrices (inverse_bench.c:49-51)
+    assert l1_error(x, ref, 2) == 4.0
+
+
+def test_parse_and_plot_bench_rows(tmp_path):
+    p = tmp_path / "bench.txt"
+    p.write_text(
+        "100 8 1 lu 1.0e+00 1.0e-06\n"
+        "100 16 1 lu 2.0e+00 1.0e-06\n"
+        "100 8 1 chol 3.0e+00 1.0e-06\n"
+        "200 8 3 lu 2.5e+00 8.0e-01 1.0e-02 1.0e-06\n"
+    )
+    rows = plots.parse_bench_file(str(p))
+    assert len(rows) == 4
+    assert rows[3].mean_ms == 0.8 and rows[3].num_reps == 3
+    out1 = plots.plot_runtime_vs_dimension(rows, str(tmp_path / "d.png"), num_matrices=100)
+    out2 = plots.plot_runtime_vs_batch(rows, 8, str(tmp_path / "b.png"))
+    assert os.path.getsize(out1) > 1000 and os.path.getsize(out2) > 1000
+
+
+def test_parse_stage_file_and_plot(tmp_path):
+    p = tmp_path / "stages.txt"
+    p.write_text(
+        "calculate_mean_gpu_add,100,128,0.1,98197\n"
+        "calculate_mean_gpu_inv,100,128,10.3,10285316\n"
+    )
+    stages = plots.parse_stage_file(str(p))
+    assert set(stages) == {"calculate_mean_gpu_add", "calculate_mean_gpu_inv"}
+    out = plots.plot_stage_split(stages, str(tmp_path / "s.png"))
+    assert os.path.getsize(out) > 1000
+
+
+def test_sweep_cli(fixture_root, tmp_path, capsys):
+    from cuda_matrix_inversion_tpu.bench import sweep
+
+    out = tmp_path / "rows.txt"
+    rc = sweep.main([
+        "inverse", fixture_root, "--reps", "1", "--max-dups", "2",
+        "--algorithms", "lu", "--out", str(out),
+    ])
+    assert rc == 0
+    rows = plots.parse_bench_file(str(out))
+    # 2 dims (8, 16) x 2 dup levels x 1 algorithm
+    assert len(rows) == 4
+    assert {r.n for r in rows} == {8, 16}
+
+
+def test_membench_runs():
+    from cuda_matrix_inversion_tpu.bench import membench
+
+    buf = io.StringIO()
+    res = membench.run(num_reps=2, num_elems=1024, num_arrays=2, stream=buf)
+    assert res["h2d_GBps"] > 0 and res["hbm_copy_GBps"] > 0
