@@ -28,7 +28,23 @@ def _jitted(name: str):
     return _jit_cache[name]
 
 
-def inverse_batched(a: np.ndarray, algorithm: str = "lu", device=None) -> np.ndarray:
+class SingularBatchError(np.linalg.LinAlgError):
+    """Raised when `check=True` finds non-invertible matrices in a batch.
+
+    Analog of the reference's per-matrix cuBLAS ``infoArray`` checks
+    (``src/gauss/inverse_gpu.cu:35-37,52-54``); carries the offending
+    batch indices.
+    """
+
+    def __init__(self, indices):
+        self.indices = list(indices)
+        super().__init__(
+            f"batch members {self.indices} produced non-finite inverses "
+            f"(singular or ill-conditioned beyond the dtype)")
+
+
+def inverse_batched(a: np.ndarray, algorithm: str = "lu", device=None,
+                    check: bool = False) -> np.ndarray:
     """Invert a host batch on device; host array in, host array out.
 
     Analog of ``inverse_lu_cuda_batched_gpu`` / ``inverse_gauss_batched_gpu``
@@ -39,10 +55,15 @@ def inverse_batched(a: np.ndarray, algorithm: str = "lu", device=None) -> np.nda
     """
     host = as_batch(a)
     if algorithm.endswith("_cpu"):
-        return get_inverse_algorithm(algorithm)(host)
-    dev = jax.device_put(host, device)
-    out = _jitted(algorithm)(dev)
-    return np.asarray(jax.device_get(out))
+        out = get_inverse_algorithm(algorithm)(host)
+    else:
+        dev = jax.device_put(host, device)
+        out = np.asarray(jax.device_get(_jitted(algorithm)(dev)))
+    if check:
+        finite = np.isfinite(out).all(axis=(1, 2))
+        if not finite.all():
+            raise SingularBatchError(np.nonzero(~finite)[0])
+    return out
 
 
 def inverse_batched_device(a: jnp.ndarray, algorithm: str = "lu") -> jnp.ndarray:

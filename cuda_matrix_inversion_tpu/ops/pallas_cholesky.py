@@ -43,6 +43,7 @@ from cuda_matrix_inversion_tpu.ops.pallas_common import (
     block_batch,
     default_interpret,
     pad_batch,
+    pad_matrix_dim,
 )
 
 
@@ -243,9 +244,11 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
     Dispatches to the MXU-blocked kernel for n ≥ 64, the vectorized
     rank-1 kernel below that.
     """
-    batch, n, _ = a.shape
+    batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
+    a, n_orig = pad_matrix_dim(a)  # tile-align n (identity block pad)
+    n = a.shape[-1]
     bm = block_batch(batch, n) if block is None else block
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
@@ -277,7 +280,7 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         scratch_shapes=scratch,
         interpret=default_interpret(interpret),
     )(a_p)
-    return out[:orig].astype(orig_dtype)
+    return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -285,9 +288,11 @@ def cholesky(a: jnp.ndarray, block: int | None = None,
              interpret: bool | None = None) -> jnp.ndarray:
     """Batched lower Cholesky factor (analog of
     ``decompose_cholesky_batched_device``, ``inverse_cholesky_gpu.cu:357-369``)."""
-    batch, n, _ = a.shape
+    batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
+    a, n_orig = pad_matrix_dim(a)
+    n = a.shape[-1]
     bm = block_batch(batch, n) if block is None else block
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
@@ -306,4 +311,4 @@ def cholesky(a: jnp.ndarray, block: int | None = None,
         ],
         interpret=default_interpret(interpret),
     )(a_p)
-    return out[:orig].astype(orig_dtype)
+    return out[:orig, :n_orig, :n_orig].astype(orig_dtype)

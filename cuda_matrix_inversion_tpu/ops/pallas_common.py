@@ -25,7 +25,27 @@ def block_batch(batch: int, n: int, vmem_budget_bytes: int = 10 * 2**20,
     """
     per_matrix = n * n * 4 * buffers
     bm = max(1, min(8, vmem_budget_bytes // max(per_matrix, 1)))
-    return int(min(bm, batch))
+    # never clamp to a tiny batch: BM < 8 creates degenerate sub-tile
+    # shapes Mosaic can't lower (the batch axis pads up instead)
+    return int(bm)
+
+
+def pad_matrix_dim(a: jnp.ndarray, multiple: int = 8):
+    """Pad n up to a tile-friendly multiple with an identity block.
+
+    ``blockdiag(A, I)⁻¹ = blockdiag(A⁻¹, I)``, so callers slice the
+    result back exactly.  Returns (padded, original_n).
+    """
+    n = a.shape[-1]
+    target = max(multiple, -(-n // multiple) * multiple)
+    if target == n:
+        return a, n
+    pad = target - n
+    batch = a.shape[0]
+    out = jnp.zeros((batch, target, target), a.dtype)
+    out = out.at[:, :n, :n].set(a)
+    out = out.at[:, n:, n:].set(jnp.eye(pad, dtype=a.dtype))
+    return out, n
 
 
 def pad_batch(a: jnp.ndarray, multiple: int):

@@ -35,6 +35,7 @@ from cuda_matrix_inversion_tpu.ops.pallas_common import (
     block_batch,
     default_interpret,
     pad_batch,
+    pad_matrix_dim,
 )
 
 
@@ -109,9 +110,11 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
     empty else-branch, ``batched_invert.cu:29-31``, silently produced
     garbage instead).
     """
-    batch, n, _ = a.shape
+    batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
+    a, n_orig = pad_matrix_dim(a)  # tile-align n (identity block pad)
+    n = a.shape[-1]
     # the augmented system doubles the VMEM footprint vs Cholesky
     bm = block_batch(batch, n, buffers=4) if block is None else block
     a_p, orig = pad_batch(a, bm)
@@ -128,4 +131,4 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
         scratch_shapes=[pltpu.VMEM((bm, n, 2 * n), jnp.float32)],
         interpret=default_interpret(interpret),
     )(a_p)
-    return out[:orig].astype(orig_dtype)
+    return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
