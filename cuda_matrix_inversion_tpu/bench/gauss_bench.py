@@ -26,7 +26,7 @@ import numpy as np
 
 from cuda_matrix_inversion_tpu.bench.reporting import (
     BenchReporter,
-    l1_error,
+    l1_total,
     print_device_info,
 )
 from cuda_matrix_inversion_tpu.io.mats import read_test_folder
@@ -80,8 +80,8 @@ def run_bench(
             ev.timer.start()
             variances = var_fn(a, b, c, e)
             ev.timer.stop()
-        em.total_error = l1_error(means, means_ref, num_matrices)
-        ev.total_error = l1_error(variances, vars_ref, num_matrices)
+        em.total_error = l1_total(means, means_ref)
+        ev.total_error = l1_total(variances, vars_ref)
         rep.report("means_cpu")
         rep.report("variances_cpu")
 
@@ -116,22 +116,24 @@ def run_bench(
             ev.timer.stop()
     else:
         # device-resident: dependency-chained slope timing (bench/timing.py);
-        # perturb operand 1 (B) to defeat loop hoisting.
-        from cuda_matrix_inversion_tpu.bench.timing import looped_pipeline_seconds
+        # perturb operand 1 (B) to defeat loop hoisting. One call compiles
+        # the timing loops once and yields num_reps samples.
+        from cuda_matrix_inversion_tpu.bench.timing import looped_pipeline_samples
 
-        for _ in range(num_reps):
-            sec = looped_pipeline_seconds(mean_j, (a, b, c, d), iters=4, trials=1, perturb=1)
+        for sec in looped_pipeline_samples(mean_j, (a, b, c, d), iters=4,
+                                           trials=num_reps, perturb=1):
             em.timer.stats.add(max(sec, 0.0))
             em.timer.last_seconds = max(sec, 0.0)
-            sec = looped_pipeline_seconds(var_j, (a, b, c, e), iters=4, trials=1, perturb=1)
+        for sec in looped_pipeline_samples(var_j, (a, b, c, e), iters=4,
+                                           trials=num_reps, perturb=1):
             ev.timer.stats.add(max(sec, 0.0))
             ev.timer.last_seconds = max(sec, 0.0)
         means = mean_j(a_d, b_d, c_d, d_d)
         variances = var_j(a_d, b_d, c_d, e_d)
     means = np.asarray(jax.device_get(means))
     variances = np.asarray(jax.device_get(variances))
-    em.total_error = l1_error(means, means_ref, num_matrices)
-    ev.total_error = l1_error(variances, vars_ref, num_matrices)
+    em.total_error = l1_total(means, means_ref)
+    ev.total_error = l1_total(variances, vars_ref)
     rep.report("means_gpu")
     rep.report("variances_gpu")
 

@@ -34,7 +34,7 @@ import numpy as np
 from cuda_matrix_inversion_tpu.bench.reporting import (
     BenchReporter,
     identity_error_inf,
-    l1_error,
+    l1_total,
     print_device_info,
 )
 from cuda_matrix_inversion_tpu.io.mats import read_test_folder
@@ -106,19 +106,19 @@ def run_bench(
         else:
             # device-resident mode: dependency-chained slope timing (see
             # bench/timing.py — plain block_until_ready is untrustworthy
-            # through the axon tunnel). Each trial yields one rep sample.
-            from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
+            # through the axon tunnel). One call, num_reps slope samples
+            # (compiles the timing loops exactly once).
+            from cuda_matrix_inversion_tpu.bench.timing import chained_op_samples
 
             jfn = jax.jit(fn)
-            for _ in range(num_reps):
-                sec = chained_op_seconds(fn, a, iters=4, trials=1)
+            for sec in chained_op_samples(fn, a, iters=4, trials=num_reps):
                 entry.timer.stats.add(max(sec, 0.0))
                 entry.timer.last_seconds = max(sec, 0.0)
             inv = np.asarray(jax.device_get(jfn(jax.device_put(a))))
 
         extra = {}
         if a_inv_ref is not None:
-            entry.total_error = l1_error(inv, a_inv_ref, num_matrices)
+            entry.total_error = l1_total(inv, a_inv_ref)
         extra["max ||AA^-1 - I||_inf"] = f"{identity_error_inf(a, inv):.3e}"
         rep.report(name, extra_metrics=extra)
     return rep

@@ -26,10 +26,18 @@ import numpy as np
 from cuda_matrix_inversion_tpu.utils.timer import Timer
 
 
+def l1_total(x: np.ndarray, ref: np.ndarray) -> float:
+    """Total L1 distance over the whole batch (ref ``vec_diff``+``vec_sum``,
+    ``src/gauss_bench.cu:470-476``) — this is what ``BenchEntry.total_error``
+    stores; the reporter divides by numMatrices exactly once
+    (``inverse_bench.c:55-62``)."""
+    return float(np.abs(np.asarray(x, dtype=np.float64)
+                        - np.asarray(ref, dtype=np.float64)).sum())
+
+
 def l1_error(x: np.ndarray, ref: np.ndarray, num_matrices: int) -> float:
-    """Average per-matrix L1 distance (ref ``vec_diff``+``vec_sum``,
-    ``src/gauss_bench.cu:470-476``; ``inverse_bench.c:49-51``)."""
-    return float(np.abs(np.asarray(x, dtype=np.float64) - np.asarray(ref, dtype=np.float64)).sum() / num_matrices)
+    """Average per-matrix L1 distance (ref ``inverse_bench.c:49-51``)."""
+    return l1_total(x, ref) / num_matrices
 
 
 def identity_error_inf(a: np.ndarray, a_inv: np.ndarray) -> float:

@@ -39,6 +39,8 @@ def main(argv=None) -> int:
     p.add_argument("--reps", type=int, default=int(os.environ.get("BENCH_REPS", 10)))
     p.add_argument("--max-dups", type=int,
                    default=int(os.environ.get("BENCH_MAX_DUPS", 16)))
+    p.add_argument("--dups", type=int, nargs="+", default=None,
+                   help="explicit duplicate levels (overrides --max-dups)")
     p.add_argument("--out", default=None, help="append CSV rows here (default stdout)")
     p.add_argument("--algorithms", nargs="+", default=None)
     p.add_argument("--method", default="solve")
@@ -49,9 +51,12 @@ def main(argv=None) -> int:
         print(f"no {args.kind} fixture dirs under {args.fixture_root}", file=sys.stderr)
         return 1
 
-    dups = [1]
-    while dups[-1] * 2 <= args.max_dups:
-        dups.append(dups[-1] * 2)
+    if args.dups:
+        dups = args.dups
+    else:
+        dups = [1]
+        while dups[-1] * 2 <= args.max_dups:
+            dups.append(dups[-1] * 2)
 
     stream = open(args.out, "a") if args.out else sys.stdout
     try:

@@ -32,16 +32,19 @@ def _fetch_scalar(x) -> float:
     return float(np.asarray(jax.device_get(x)))
 
 
-def chained_op_seconds(
+def chained_op_samples(
     fn: Callable,
     x0: jnp.ndarray,
     iters: int = 16,
     trials: int = 5,
-) -> float:
-    """Per-call seconds for an endomorphic op (``fn(x)`` shaped like ``x``,
-    e.g. batched inversion: inv∘inv chains exactly).
+) -> list[float]:
+    """Per-call seconds samples for an endomorphic op (``fn(x)`` shaped
+    like ``x``, e.g. batched inversion: inv∘inv chains exactly).
 
-    Returns the median over ``trials`` of ``(t(2k) − t(k)) / k``.
+    Each sample is one slope measurement ``(t(2k) − t(k)) / k``; compiling
+    happens once up front (callers wanting Welford stats over reps should
+    call this once with ``trials=reps``, not in a loop — each call
+    builds fresh jit closures and would recompile).
     """
 
     def make(k):
@@ -65,16 +68,21 @@ def chained_op_seconds(
         _fetch_scalar(run_2k(x0))
         t2 = time.perf_counter()
         deltas.append(((t2 - t1) - (t1 - t0)) / iters)
-    return float(np.median(deltas))
+    return deltas
 
 
-def looped_pipeline_seconds(
+def chained_op_seconds(fn, x0, iters: int = 16, trials: int = 5) -> float:
+    """Median of :func:`chained_op_samples`."""
+    return float(np.median(chained_op_samples(fn, x0, iters, trials)))
+
+
+def looped_pipeline_samples(
     fn: Callable,
     args: Sequence,
     iters: int = 16,
     trials: int = 5,
     perturb: int = 0,
-) -> float:
+) -> list[float]:
     """Per-call seconds for an arbitrary pipeline ``fn(*args)``.
 
     Dependency is enforced by carrying a scalar that perturbs
@@ -114,7 +122,14 @@ def looped_pipeline_seconds(
         _fetch_scalar(run_2k(*args))
         t2 = time.perf_counter()
         deltas.append(((t2 - t1) - (t1 - t0)) / iters)
-    return float(np.median(deltas))
+    return deltas
+
+
+def looped_pipeline_seconds(fn, args, iters: int = 16, trials: int = 5,
+                            perturb: int = 0) -> float:
+    """Median of :func:`looped_pipeline_samples`."""
+    return float(np.median(
+        looped_pipeline_samples(fn, args, iters, trials, perturb)))
 
 
 def wallclock_seconds(thunk: Callable[[], object], reps: int = 10) -> float:
