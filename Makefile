@@ -1,0 +1,52 @@
+# Convenience targets mirroring the reference Makefile's surface
+# (reference Makefile:158-235: build, demo, and run-*-bench targets).
+# The actual build system is pyproject.toml + native/build.py.
+
+BENCH_REPS ?= 10
+BENCH_MAX_DUPS ?= 16
+FIXTURES ?= /tmp/cmi_fixtures
+PY ?= python
+
+.PHONY: build test fixtures run-inverse-bench run-gauss-bench \
+        cholesky-demo gauss-demo bench clean
+
+build:
+	$(PY) -m pip install -e . --no-deps --no-build-isolation -q
+	$(PY) -m cuda_matrix_inversion_tpu.native.build
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+fixtures:
+	$(PY) -m cuda_matrix_inversion_tpu.io.fixtures $(FIXTURES)
+
+# ref: run-inverse-bench sweeps dims x dups (Makefile:212-220)
+run-inverse-bench:
+	mkdir -p results
+	$(PY) -m cuda_matrix_inversion_tpu.bench.sweep inverse $(FIXTURES) \
+	  --reps $(BENCH_REPS) --max-dups $(BENCH_MAX_DUPS) \
+	  --out results/inverse-bench.txt
+
+# ref: run-gauss-bench (Makefile:202-210)
+run-gauss-bench:
+	mkdir -p results
+	$(PY) -m cuda_matrix_inversion_tpu.bench.sweep gauss $(FIXTURES) \
+	  --reps $(BENCH_REPS) --max-dups $(BENCH_MAX_DUPS) \
+	  --out results/gauss-bench.txt
+
+# ref: make cholesky_cpu pipes a known SPD 4x4 (Makefile:229-235)
+cholesky-demo:
+	printf '4\n18 22 54 42\n22 70 86 62\n54 86 174 134\n42 62 134 106\n' | \
+	  $(PY) -m cuda_matrix_inversion_tpu.demos cholesky
+
+# ref: make c-test pipes a 5x5 into the inverter (Makefile:158-165)
+gauss-demo:
+	printf '3\n2 0 0\n0 1 2\n-2 1 1\n' | \
+	  $(PY) -m cuda_matrix_inversion_tpu.demos gauss
+
+bench:
+	$(PY) bench.py
+
+clean:
+	rm -f cuda_matrix_inversion_tpu/native/libcmi_native.so
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

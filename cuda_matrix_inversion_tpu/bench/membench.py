@@ -78,6 +78,13 @@ def run(num_reps: int, num_elems: int, num_arrays: int, stream=None) -> dict:
     results["hbm_copy_GBps"] = _bw(2 * nbytes, dd_s)
     print(f"HBM copy (r+w): {results['hbm_copy_GBps']:.2f} GB/s", file=stream)
 
+    # --- ICI ring bandwidth (multi-chip only; the reference's PCIe
+    # bandwidth table, report.tex:91, has no chip-to-chip analog) ---
+    if len(jax.devices()) > 1:
+        results["ici_ring_GBps"] = ici_ring_bandwidth(num_elems)
+        print(f"ICI ring (ppermute): {results['ici_ring_GBps']:.2f} GB/s "
+              f"across {len(jax.devices())} devices", file=stream)
+
     # --- donated-buffer update (pinned-reuse analog, bench.cu:112-156) ---
     upd = jax.jit(lambda x: x * 1.000001, donate_argnums=0)
     buf = jnp.asarray(host[0])
@@ -92,6 +99,32 @@ def run(num_reps: int, num_elems: int, num_arrays: int, stream=None) -> dict:
     print(f"donated in-place update: {results['donated_update_GBps']:.2f} GB/s", file=stream)
 
     return results
+
+
+def ici_ring_bandwidth(num_elems: int) -> float:
+    """Ring-shift bandwidth over the device mesh: every device sends its
+    shard one hop per step (lax.ppermute under shard_map).  Uses the
+    chained-slope timer so enqueue-ack runtimes can't fake it."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
+    from cuda_matrix_inversion_tpu.parallel.mesh import BATCH_AXIS, batch_mesh
+
+    devs = jax.devices()
+    mesh = batch_mesh(len(devs))
+    perm = [(i, (i + 1) % len(devs)) for i in range(len(devs))]
+
+    def shift(x):
+        f = lambda s: jax.lax.ppermute(s, BATCH_AXIS, perm)  # noqa: E731
+        return jax.shard_map(f, mesh=mesh, in_specs=P(BATCH_AXIS),
+                             out_specs=P(BATCH_AXIS))(x)
+
+    n = max(num_elems - num_elems % len(devs), len(devs))
+    x = jnp.arange(n, dtype=jnp.float32)
+    sec = chained_op_seconds(shift, x, iters=8, trials=3)
+    return _bw(4 * n, max(sec, 1e-12))
 
 
 def main(argv=None) -> int:
