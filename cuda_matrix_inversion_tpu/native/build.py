@@ -13,13 +13,16 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 LIB = os.path.join(HERE, "libcmi_native.so")
-SOURCES = [os.path.join(HERE, "matsio.cpp")]
+SOURCES = [os.path.join(HERE, "matsio.cpp"), os.path.join(HERE, "oracle.cpp")]
 
 
 def build(verbose: bool = True) -> str:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+        "-fopenmp",
         "-o", LIB, *SOURCES,
+        # Debian ships liblapack.so.3 without the dev symlink
+        "-l:liblapack.so.3", "-lgomp",
     ]
     if verbose:
         print("+", " ".join(cmd), file=sys.stderr)

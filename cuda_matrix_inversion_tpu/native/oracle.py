@@ -1,0 +1,83 @@
+"""ctypes bindings for the native LAPACK+OpenMP oracle (``oracle.cpp``).
+
+The C++ counterpart of :mod:`cuda_matrix_inversion_tpu.ops.cpu_reference`
+(reference ``src/inverse.c``); registered as ``lu_native_cpu`` /
+``cholesky_native_cpu`` when the shared library is built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    from cuda_matrix_inversion_tpu.native.build import lib_path
+
+    path = lib_path()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        for name, dt in (("oracle_inverse_lu_f32", np.float32),
+                         ("oracle_inverse_lu_f64", np.float64),
+                         ("oracle_inverse_chol_f32", np.float32),
+                         ("oracle_inverse_chol_f64", np.float64)):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                np.ctypeslib.ndpointer(dtype=dt, flags="C_CONTIGUOUS"),
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            fn.restype = ctypes.c_int64
+        lib.oracle_num_threads.restype = ctypes.c_int
+        _lib = lib
+    except (OSError, AttributeError):
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _run(kind: str, a: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    a = np.ascontiguousarray(a)
+    if a.dtype == np.float64:
+        fn = getattr(lib, f"oracle_inverse_{kind}_f64")
+    else:
+        a = a.astype(np.float32, copy=True) if a.dtype != np.float32 else a.copy()
+        fn = getattr(lib, f"oracle_inverse_{kind}_f32")
+    if a.dtype == np.float64:
+        a = a.copy()
+    bad = fn(a, a.shape[0], a.shape[1])
+    if bad != 0:
+        raise np.linalg.LinAlgError(
+            f"native {kind} inversion failed at batch index {bad - 1}")
+    return a
+
+
+def inverse_lu(a: np.ndarray) -> np.ndarray:
+    """Batched LU inversion (ref ``inverse_lu_blas_omp``, ``inverse.c:71-86``)."""
+    return _run("lu", a)
+
+
+def inverse_cholesky(a: np.ndarray) -> np.ndarray:
+    """Batched SPD inversion (ref ``inverse_chol_blas_omp``, ``inverse.c:100-107``)."""
+    return _run("chol", a)
+
+
+def num_threads() -> int:
+    lib = _load()
+    return int(lib.oracle_num_threads()) if lib else 0

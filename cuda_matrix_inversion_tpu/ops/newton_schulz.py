@@ -46,7 +46,7 @@ def _residual_inf(eye, ax):
 def inverse_newton_schulz(
     a: jnp.ndarray,
     max_iters: int = 48,
-    polish_iters: int = 3,
+    polish_iters: int = 1,
     tol: float = 1e-2,
 ) -> jnp.ndarray:
     """Batched inverse via adaptive Newton-Schulz.

@@ -51,6 +51,16 @@ def _populate() -> None:
     register_inverse("cholesky_cpu", cpu_reference.inverse_cholesky, cpu=True)
     register_inverse("gauss_cpu", cpu_reference.inverse_gauss_jordan, cpu=True)
 
+    # native C++ LAPACK+OpenMP oracle (the true inverse.c equivalent)
+    try:
+        from cuda_matrix_inversion_tpu.native import oracle
+
+        if oracle.available():
+            register_inverse("lu_native_cpu", oracle.inverse_lu, cpu=True)
+            register_inverse("cholesky_native_cpu", oracle.inverse_cholesky, cpu=True)
+    except Exception:
+        pass
+
 
 def get_inverse_algorithm(name: str) -> Callable:
     _populate()

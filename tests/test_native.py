@@ -1,0 +1,99 @@
+"""Tests for the native C++ components (matsio + LAPACK oracle).
+
+Skipped gracefully when the shared library isn't built; CI/bench builds
+it via ``python -m cuda_matrix_inversion_tpu.native.build``.
+"""
+
+import numpy as np
+import pytest
+
+from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+from cuda_matrix_inversion_tpu.native.build import ensure_built
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if ensure_built() is None:
+        pytest.skip("native lib not buildable in this environment")
+
+
+def test_matsio_roundtrip(tmp_path, rng):
+    from cuda_matrix_inversion_tpu.native import matsio
+
+    assert matsio.available()
+    arr = rng.standard_normal((7, 5, 3))
+    path = str(tmp_path / "x.mats")
+    matsio.write_mats(path, arr)
+    back = matsio.read_mats(path)
+    np.testing.assert_allclose(back, arr, rtol=1e-15)
+
+
+def test_matsio_matches_python_parser(tmp_path, rng):
+    from cuda_matrix_inversion_tpu.io.mats import read_mats, write_mats
+    from cuda_matrix_inversion_tpu.native import matsio
+
+    arr = rng.standard_normal((3, 4, 4))
+    path = str(tmp_path / "y.mats")
+    write_mats(path, arr)
+    native = matsio.read_mats(path)
+    # force the pure-Python path for comparison
+    with open(path, "rb") as f:
+        text = f.read()
+    header_end = text.index(b"\n")
+    body = np.array(text[header_end + 1:].split(), dtype=np.float64).reshape(3, 4, 4)
+    np.testing.assert_array_equal(native, body)
+
+
+def test_matsio_replicate(rng):
+    from cuda_matrix_inversion_tpu.native import matsio
+
+    arr = rng.standard_normal((2, 3, 3))
+    out = matsio.replicate(arr, 4)
+    assert out.shape == (8, 3, 3)
+    np.testing.assert_array_equal(out[6], arr[0])
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_native_oracle_lu(dtype, rng):
+    from cuda_matrix_inversion_tpu.native import oracle
+
+    a = make_spd_batch(10, 24, rng).astype(dtype)
+    inv = oracle.inverse_lu(a)
+    err = np.abs(a.astype(np.float64) @ inv.astype(np.float64) - np.eye(24)).max()
+    assert err < (1e-5 if dtype == np.float32 else 1e-12)
+
+
+def test_native_oracle_cholesky_matches_scipy(rng):
+    from cuda_matrix_inversion_tpu.native import oracle
+    from cuda_matrix_inversion_tpu.ops import cpu_reference
+
+    a = make_spd_batch(6, 16, rng).astype(np.float32)
+    native = oracle.inverse_cholesky(a)
+    scipy_ref = cpu_reference.inverse_cholesky(a)
+    np.testing.assert_allclose(native, scipy_ref, atol=1e-5)
+    np.testing.assert_allclose(native, np.transpose(native, (0, 2, 1)))
+
+
+def test_native_oracle_singular_raises(rng):
+    from cuda_matrix_inversion_tpu.native import oracle
+
+    a = make_spd_batch(3, 8, rng).astype(np.float32)
+    a[1] = 0.0
+    with pytest.raises(np.linalg.LinAlgError, match="index 1"):
+        oracle.inverse_lu(a)
+
+
+def test_native_oracle_registered():
+    from cuda_matrix_inversion_tpu.ops.registry import list_inverse_algorithms
+
+    algs = list_inverse_algorithms(cpu=True)
+    assert "lu_native_cpu" in algs and "cholesky_native_cpu" in algs
+
+
+def test_native_oracle_does_not_mutate_input(rng):
+    from cuda_matrix_inversion_tpu.native import oracle
+
+    a = make_spd_batch(2, 8, rng).astype(np.float32)
+    a_copy = a.copy()
+    oracle.inverse_lu(a)
+    np.testing.assert_array_equal(a, a_copy)  # no reference-style clobbering
