@@ -156,10 +156,11 @@ def _run_stage_split(rep, a, b, c, d, num_matrices, n, stream):
     mul_j = jax.jit(ops.matmul)
     dot_j = jax.jit(lambda x, y: jnp.matmul(jnp.swapaxes(x, -1, -2), y))
 
-    # warmup
+    # warmup every stage's compile (incl. dot) outside the timers
     kdev = add_j(jax.device_put(b), jax.device_put(c))
     minv = inv_j(kdev)
-    mul_j(minv, jax.device_put(d)).block_until_ready()
+    x0 = mul_j(minv, jax.device_put(d))
+    dot_j(jax.device_put(a), x0).block_until_ready()
 
     t = Timer("calculate_mean_gpu_mem_htod")
     t.start()

@@ -21,8 +21,21 @@ import numpy as np
 
 
 def run(num: int, n: int, dtype: str, algorithm: str, n_devices: int | None,
-        iters: int = 4, trials: int = 3) -> dict:
+        iters: int = 4, trials: int = 3, force_cpu: bool = False) -> dict:
+    import os
+
     import jax
+
+    if force_cpu or dtype == "float64":
+        # fp64 is unsupported by the TPU expanders; also the axon plugin
+        # ignores the JAX_PLATFORMS env var, so pin the platform through
+        # the config API. XLA_FLAGS is parsed exactly once per process —
+        # set it BEFORE the first backend touch (no jax.devices() yet!).
+        if n_devices:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n_devices}").strip()
+        jax.config.update("jax_platforms", "cpu")
 
     if dtype == "float64":
         from cuda_matrix_inversion_tpu.types import enable_x64
@@ -77,8 +90,10 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--algorithm", default="newton_schulz")
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--force-cpu", action="store_true")
     args = p.parse_args(argv)
-    print(json.dumps(run(args.num, args.n, args.dtype, args.algorithm, args.devices)))
+    print(json.dumps(run(args.num, args.n, args.dtype, args.algorithm,
+                         args.devices, force_cpu=args.force_cpu)))
     return 0
 
 

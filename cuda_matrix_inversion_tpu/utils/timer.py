@@ -73,11 +73,11 @@ class Timer:
 
     def log_line(self, num_matrices: int, n: int) -> str:
         """One ``name,numMatrices,n,ms,ns`` CSV line (ref ``TIMER_LOG``,
-        ``timer.h:8-9``)."""
+        ``timer.h:8-9``): ms is fractional, ns is the full nanosecond
+        total — matching ``results/gauss-bench.txt`` rows like
+        ``means_cpu,100,128,15.9314,15931426``."""
         ns = int(round(self.last_seconds * 1e9))
-        ms = ns // 1_000_000
-        ns_rem = ns % 1_000_000_000 if ms == 0 else ns - ms * 1_000_000
-        return f"{self.name},{num_matrices},{n},{ms},{ns_rem}"
+        return f"{self.name},{num_matrices},{n},{ns / 1e6:.4f},{ns}"
 
     def log(self, num_matrices: int, n: int, stream: Optional[TextIO] = None) -> None:
         import sys
