@@ -184,7 +184,7 @@ def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
 
 
 def _blocked_chol_inverse_kernel(pw: int, a_ref, out_ref, work_ref, lt_ref,
-                                 w_ref, dblk_ref, dlt_ref, dw_ref, dws_ref):
+                                 dblk_ref, dlt_ref, dw_ref, dws_ref):
     """Blocked SPD inverse: two-level blocking so the O(n³) work rides the
     MXU instead of per-column VPU passes.
 
@@ -207,11 +207,14 @@ def _blocked_chol_inverse_kernel(pw: int, a_ref, out_ref, work_ref, lt_ref,
     """
     bm = a_ref.shape[0]
     work_ref[:, :, :] = a_ref[:, :, :]
-    _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
+    # W lives in out_ref (aliasing saves a whole (BM,N,N) VMEM buffer,
+    # letting the batch block grow); phase 3 reads W[b] as a value before
+    # overwriting that slot.
+    _blocked_lt_w(pw, work_ref, lt_ref, out_ref, dblk_ref, dlt_ref, dw_ref,
                   dws_ref)
     # ---- Phase 3: A⁻¹ = Wᵀ W ----
     for b in range(bm):
-        w_b = w_ref[b, :, :]
+        w_b = out_ref[b, :, :]
         out_ref[b, :, :] = _mm(w_b, w_b, contract=((0,), (0,)))
 
 
@@ -249,11 +252,19 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
     a = a.astype(jnp.float32)
     a, n_orig = pad_matrix_dim(a)  # tile-align n (identity block pad)
     n = a.shape[-1]
-    bm = block_batch(batch, n) if block is None else block
+    pw = _panel_width(n)
+    if block is not None:
+        bm = block
+    elif pw is not None:
+        # blocked path: bigger batch blocks amortize the sequential
+        # per-panel small loops (measured optimum ≈ 24 at n=128; VMEM
+        # holds 2×(BM,N,N) scratch + the aliased out + pipelined io)
+        bm = max(8, min(24, (6 * 2**20) // (n * n * 4) // 1 * 1))
+        bm = min(24, max(8, bm - bm % 8))
+    else:
+        bm = block_batch(batch, n)
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
-
-    pw = _panel_width(n)
     if pw is None:
         kernel = _chol_inverse_kernel
         scratch = [pltpu.VMEM((bm, n, n), jnp.float32)] * 3
@@ -261,8 +272,7 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         kernel = functools.partial(_blocked_chol_inverse_kernel, pw)
         scratch = [
             pltpu.VMEM((bm, n, n), jnp.float32),   # work
-            pltpu.VMEM((bm, n, n), jnp.float32),   # lt
-            pltpu.VMEM((bm, n, n), jnp.float32),   # w
+            pltpu.VMEM((bm, n, n), jnp.float32),   # lt  (W aliases out_ref)
             pltpu.VMEM((bm, pw, pw), jnp.float32),  # dblk
             pltpu.VMEM((bm, pw, pw), jnp.float32),  # dlt
             pltpu.VMEM((bm, pw, pw), jnp.float32),  # dw
