@@ -132,6 +132,44 @@ def looped_pipeline_seconds(fn, args, iters: int = 16, trials: int = 5,
         looped_pipeline_samples(fn, args, iters, trials, perturb)))
 
 
+def enqueue_slope_seconds(
+    fn: Callable,
+    args: Sequence,
+    n1: int = 8,
+    n2: int = 32,
+    trials: int = 3,
+) -> float:
+    """Per-call seconds via the enqueue-slope method — NO extra compiles.
+
+    Enqueue n independent calls (async dispatch is cheap), fetch a scalar
+    of the last result (the single-core TPU executes the queue in order,
+    so the fetch waits for all n), and take the slope between n1 and n2.
+    Use this instead of the chained timers for ops whose compile is
+    expensive (e.g. nested while_loops) — the jitted fn is compiled once
+    by the first call and reused.
+    """
+    fn = jax.jit(fn) if not hasattr(fn, "lower") else fn
+    args = [jax.device_put(a) for a in args]
+
+    def run(n):
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        return float(np.asarray(jax.device_get(leaf)).ravel()[0])
+
+    run(1)  # compile + warm
+    deltas = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        run(n1)
+        t1 = time.perf_counter()
+        run(n2)
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return float(np.median(deltas))
+
+
 def wallclock_seconds(thunk: Callable[[], object], reps: int = 10) -> float:
     """Plain wall-clock median including a real device_get of the result —
     for end-to-end (transfers-included) measurements."""
