@@ -56,6 +56,12 @@ def inverse_newton_schulz(
     nonsingular (not just SPD) matrix; singular inputs yield non-finite
     entries, matching the LU path's behavior.
     """
+    if a.dtype == jnp.float64:
+        # f64 callers want exactness, not the bf16 fast path — use the
+        # factorization route, which stays f64 end to end.
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        return _xla.inverse_lu(a)
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
     n = a.shape[-1]

@@ -247,6 +247,13 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
     Dispatches to the MXU-blocked kernel for n ≥ 64, the vectorized
     rank-1 kernel below that.
     """
+    if a.dtype == jnp.float64:
+        # fp64 must not silently round-trip through fp32 VMEM: route to
+        # the XLA path, which keeps f64 end to end (CPU mesh; the TPU
+        # expanders reject f64 anyway).
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        return _xla.inverse_cholesky(a)
     batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
@@ -298,6 +305,10 @@ def cholesky(a: jnp.ndarray, block: int | None = None,
              interpret: bool | None = None) -> jnp.ndarray:
     """Batched lower Cholesky factor (analog of
     ``decompose_cholesky_batched_device``, ``inverse_cholesky_gpu.cu:357-369``)."""
+    if a.dtype == jnp.float64:
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        return _xla.cholesky(a)
     batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)

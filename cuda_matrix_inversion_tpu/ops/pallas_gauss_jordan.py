@@ -110,6 +110,11 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
     empty else-branch, ``batched_invert.cu:29-31``, silently produced
     garbage instead).
     """
+    if a.dtype == jnp.float64:
+        # keep f64 exact: XLA LU path instead of fp32 VMEM round-trip
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        return _xla.inverse_lu(a)
     batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)

@@ -83,6 +83,17 @@ def gp_mean_variance_fused(a, b, c, d, e, block: int | None = None,
     a, c, d — (batch, n, 1); b — (batch, n, n); e — (batch, 1, 1).
     Returns (means, variances) each (batch, 1, 1).
     """
+    if b.dtype == jnp.float64:
+        # keep f64 exact: XLA solve path instead of fp32 VMEM round-trip
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        k = _xla.add_diagonal(b, c)
+        rhs = jnp.concatenate([d, a], axis=-1)
+        x = _xla.spd_solve(k, rhs)
+        proj = jnp.matmul(jnp.swapaxes(a, -1, -2), x,
+                          precision=jax.lax.Precision.HIGHEST)
+        return proj[:, :, 0:1], e - proj[:, :, 1:2]
+
     batch, n, _ = b.shape
     orig_dtype = b.dtype
     f32 = jnp.float32
