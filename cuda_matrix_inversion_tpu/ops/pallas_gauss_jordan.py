@@ -98,6 +98,147 @@ def _gauss_jordan_kernel(a_ref, out_ref, work_ref):
     out_ref[:, :, :] = work_ref[:, :, n:w2]
 
 
+def _gj_small_inverse_body(n: int, work2_ref):
+    """Unblocked GJ with pivoting on a (BM, n, 2n) ref: [M | I] → [I | M⁻¹].
+
+    The fori-loop core of :func:`_gauss_jordan_kernel`, reused by the
+    blocked kernel to invert pivot blocks.
+    """
+    bm = work2_ref.shape[0]
+    w2 = 2 * n
+    lanes_aug = jax.lax.broadcasted_iota(jnp.int32, (bm, w2), 1)
+    lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+
+    def body(k, _):
+        colmask = (lanes_n == k).astype(jnp.float32)
+        col = jnp.sum(work2_ref[:, :, 0:n] * colmask[:, None, :], axis=2)
+        cand = jnp.where(lanes_n >= k, jnp.abs(col), -1.0)
+        p = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        pmask = (lanes_n == p[:, None]).astype(jnp.float32)
+        rowk = work2_ref[:, pl.ds(k, 1), :][:, 0, :]
+        rowp = jnp.sum(work2_ref[:, :, :] * pmask[:, :, None], axis=1)
+        kmask = (lanes_n == k).astype(jnp.float32)
+        is_k = kmask[:, :, None]
+        is_p_only = (pmask * (1.0 - kmask))[:, :, None]
+        work = work2_ref[:, :, :]
+        swapped = (work + is_k * (rowp[:, None, :] - work)
+                   + is_p_only * (rowk[:, None, :] - work))
+        pivot = jnp.sum(jnp.where(lanes_aug == k, rowp, 0.0), axis=1,
+                        keepdims=True)
+        rownorm = rowp / pivot
+        ek = jnp.sum(jnp.where(lanes_n == k, col, 0.0), axis=1, keepdims=True)
+        ep = jnp.sum(jnp.where(lanes_n == p[:, None], col, 0.0), axis=1,
+                     keepdims=True)
+        col_sw = jnp.where(lanes_n == k, ep,
+                           jnp.where(lanes_n == p[:, None], ek, col))
+        factor = jnp.where(lanes_n == k, 0.0, col_sw)
+        work2_ref[:, :, :] = swapped - factor[:, :, None] * rownorm[:, None, :]
+        work2_ref[:, pl.ds(k, 1), :] = rownorm[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _blocked_gj_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
+                       small_ref, sinv_ref):
+    """Blocked Gauss-Jordan with partial pivoting.
+
+    Per panel of ``pw`` columns the elimination of the full-matrix work
+    is exactly two MXU matmuls per matrix instead of ``pw`` rank-1
+    passes:
+
+        work' = (I + C·S) · work_swapped,   C = (E − B) · B_piv⁻¹
+
+    where B = the panel columns after the panel's pivot row swaps, S
+    selects the pivot rows, and E is the target unit-column block.  The
+    identity holds because every Gauss-Jordan elementary operation adds
+    multiples of pivot rows, so their composition is I + C·S for some C,
+    and C is pinned down by requiring the panel to become E.  Pivots are
+    found LU-style on a cheap (BM, N, pw) panel copy; row swaps are
+    applied physically to both the copy and the full work (full-matrix
+    VMEM blend passes cost ~40 ns — the expensive thing to avoid is the
+    per-column rank-1 outer product, not the swaps).
+    """
+    bm, n, _ = a_ref.shape
+    w2 = 2 * n
+    np_ = n // pw
+
+    lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (row_i == col_i).astype(jnp.float32)
+    eye_pw = (jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 1)).astype(jnp.float32)
+
+    work_ref[:, :, 0:n] = a_ref[:, :, :]
+    work_ref[:, :, n:w2] = jnp.broadcast_to(eye, (bm, n, n))
+
+    for p in range(np_):
+        k0 = p * pw
+        # -- pivot search on a panel copy (LU-style: eliminate below only),
+        #    swaps applied physically to copy AND full work --
+        pcopy_ref[:, :, :] = work_ref[:, :, k0:k0 + pw]
+        for j in range(pw):
+            g = k0 + j
+            gcol = pcopy_ref[:, :, j]  # (BM, N) over rows
+            cand = jnp.where(lanes_n >= g, jnp.abs(gcol), -1.0)
+            piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
+            pmask = (lanes_n == piv[:, None]).astype(jnp.float32)
+            gmask = (lanes_n == g).astype(jnp.float32)
+            is_g = gmask[:, :, None]
+            is_p = (pmask * (1.0 - gmask))[:, :, None]
+            # swap in the panel copy
+            rowg = pcopy_ref[:, g, :]  # (BM, pw), static index
+            rowp = jnp.sum(pcopy_ref[:, :, :] * pmask[:, :, None], axis=1)
+            pc = pcopy_ref[:, :, :]
+            pcopy_ref[:, :, :] = (pc + is_g * (rowp[:, None, :] - pc)
+                                  + is_p * (rowg[:, None, :] - pc))
+            # same swap in the full work
+            wrowg = work_ref[:, g, :]  # (BM, 2N)
+            wrowp = jnp.sum(work_ref[:, :, :] * pmask[:, :, None], axis=1)
+            w = work_ref[:, :, :]
+            work_ref[:, :, :] = (w + is_g * (wrowp[:, None, :] - w)
+                                 + is_p * (wrowg[:, None, :] - w))
+            # eliminate below g in the panel copy
+            gcol2 = pcopy_ref[:, :, j]
+            pivval = jnp.sum(jnp.where(lanes_n == g, gcol2, 0.0), axis=1,
+                             keepdims=True)
+            factor = jnp.where(lanes_n > g, gcol2 / pivval, 0.0)
+            prow = pcopy_ref[:, g, :]  # (BM, pw)
+            pcopy_ref[:, :, :] = pcopy_ref[:, :, :] - factor[:, :, None] * prow[:, None, :]
+
+        # -- invert the pivot block B_piv (small GJ with pivoting) --
+        small_ref[:, :, 0:pw] = work_ref[:, k0:k0 + pw, k0:k0 + pw]
+        small_ref[:, :, pw:2 * pw] = jnp.broadcast_to(eye_pw, (bm, pw, pw))
+        _gj_small_inverse_body(pw, small_ref)
+        # whole-buffer copies: feeding lane-offset slices straight into
+        # the MXU CHECK-crashes Mosaic's lowering emitter
+        sinv_ref[:, :, :] = small_ref[:, :, pw:2 * pw]
+        pcopy_ref[:, :, :] = work_ref[:, :, k0:k0 + pw]  # B (post-swap panel)
+
+        # -- C = (E − B)·B_piv⁻¹ ; work += C · (pivot rows of work) --
+        # (direct target-shape iota: lane-slicing a big iota value as a
+        # matmul operand CHECK-crashes Mosaic's lowering emitter)
+        e_blk = (jax.lax.broadcasted_iota(jnp.int32, (n, pw), 0)
+                 == (jax.lax.broadcasted_iota(jnp.int32, (n, pw), 1) + k0)
+                 ).astype(jnp.float32)
+        for b in range(bm):
+            c_mat = _mm(e_blk - pcopy_ref[b, :, :], sinv_ref[b, :, :])
+            s_rows = work_ref[b, k0:k0 + pw, :]  # (pw, 2N) sublane slice
+            work_ref[b, :, :] = work_ref[b, :, :] + _mm(c_mat, s_rows)
+
+    out_ref[:, :, :] = work_ref[:, :, n:w2]
+
+
+def _mm(lhs, rhs):
+    return jax.lax.dot_general(
+        lhs, rhs,
+        dimension_numbers=((((1,), (0,))), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
                          interpret: bool | None = None) -> jnp.ndarray:
@@ -120,6 +261,7 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
     a = a.astype(jnp.float32)
     a, n_orig = pad_matrix_dim(a)  # tile-align n (identity block pad)
     n = a.shape[-1]
+
     # the augmented system doubles the VMEM footprint vs Cholesky
     bm = block_batch(batch, n, buffers=4) if block is None else block
     a_p, orig = pad_batch(a, bm)
@@ -134,6 +276,57 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, n, 2 * n), jnp.float32)],
+        interpret=default_interpret(interpret),
+    )(a_p)
+    return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def inverse_gauss_jordan_blocked(a: jnp.ndarray, block: int | None = None,
+                                 interpret: bool | None = None) -> jnp.ndarray:
+    """Panel-blocked Gauss-Jordan (experimental; see _blocked_gj_kernel).
+
+    Status after on-hardware evaluation: correct and MXU-heavy, but the
+    explicit B_piv⁻¹ in the panel update amplifies rounding to ~1e-4 at
+    n=128 (right at the accuracy gate; the rank-1 kernel sits at ~2e-6),
+    and the statically-unrolled pivot search compiles slowly.  Kept as a
+    registered variant (``gauss_blocked_pallas``) rather than the
+    default — the honest conclusion is that for n ≤ 128 the fastest
+    *gate-passing* general-matrix path is Newton-Schulz, with the rank-1
+    GJ as the pivoting reference.
+    """
+    batch = a.shape[0]
+    orig_dtype = a.dtype
+    a = a.astype(jnp.float32)
+    a, n_orig = pad_matrix_dim(a)
+    n = a.shape[-1]
+    pw = None
+    for cand in (32, 16, 8):
+        if n % cand == 0 and n > cand:
+            pw = cand
+            break
+    if pw is None:
+        return inverse_gauss_jordan(a[:, :n_orig, :n_orig], block=block,
+                                    interpret=interpret).astype(orig_dtype)
+
+    bm = block_batch(batch, n, buffers=4) if block is None else block
+    a_p, orig = pad_batch(a, bm)
+    grid = a_p.shape[0] // bm
+
+    out = pl.pallas_call(
+        functools.partial(_blocked_gj_kernel, pw),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bm, n, 2 * n), jnp.float32),    # work [A | I]
+            pltpu.VMEM((bm, n, pw), jnp.float32),       # panel pivot copy
+            pltpu.VMEM((bm, pw, 2 * pw), jnp.float32),  # small GJ [Bpiv | I]
+            pltpu.VMEM((bm, pw, pw), jnp.float32),      # Bpiv⁻¹ copy
+        ],
         interpret=default_interpret(interpret),
     )(a_p)
     return out[:orig, :n_orig, :n_orig].astype(orig_dtype)

@@ -37,6 +37,8 @@ def _populate() -> None:
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan
 
         register_inverse("gauss_pallas", pallas_gauss_jordan.inverse_gauss_jordan)
+        register_inverse("gauss_blocked_pallas",
+                         pallas_gauss_jordan.inverse_gauss_jordan_blocked)
     except ImportError:
         pass
     try:
