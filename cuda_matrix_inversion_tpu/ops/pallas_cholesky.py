@@ -227,6 +227,11 @@ def _chol_factor_kernel(a_ref, out_ref, work_ref, lt_ref):
         out_ref[b, :, :] = lt_ref[b, :, :].T
 
 
+# largest n the VMEM-resident kernels accept (8 matrices × 3 buffers of
+# (n,n) fp32 + pipelined io must fit in ~16 MB)
+_VMEM_MAX_N = 256
+
+
 def _panel_width(n: int) -> int | None:
     """Blocked-path panel width, or None → use the naive rank-1 kernel."""
     if n >= 64:
@@ -254,6 +259,12 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         from cuda_matrix_inversion_tpu.ops import xla as _xla
 
         return _xla.inverse_cholesky(a)
+    if a.shape[-1] > _VMEM_MAX_N:
+        # an 8-matrix block of (n,n) fp32 with 3 working buffers exceeds
+        # VMEM past n≈256 — route big matrices to the XLA factorization
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        return _xla.inverse_cholesky(a)
     batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
@@ -264,9 +275,12 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         bm = block
     elif pw is not None:
         # blocked path: bigger batch blocks amortize the sequential
-        # per-panel small loops (measured optimum ≈ 24 at n=128; VMEM
-        # holds 2×(BM,N,N) scratch + the aliased out + pipelined io)
-        bm = max(8, min(24, (6 * 2**20) // (n * n * 4) // 1 * 1))
+        # per-panel small loops (measured optimum ≈ 24 at n=128).  VMEM
+        # carries ~4 (BM,N,N) buffers (work + lt scratch, aliased out,
+        # pipelined in), so budget ≈ 4 MB per buffer.
+        # ~5 buffers live at once (work, lt, aliased out, double-buffered
+        # in) → ~2.5 MB budget per buffer keeps the total under 16 MB
+        bm = (5 * 2**19) // (n * n * 4)
         bm = min(24, max(8, bm - bm % 8))
     else:
         bm = block_batch(batch, n)
@@ -305,7 +319,7 @@ def cholesky(a: jnp.ndarray, block: int | None = None,
              interpret: bool | None = None) -> jnp.ndarray:
     """Batched lower Cholesky factor (analog of
     ``decompose_cholesky_batched_device``, ``inverse_cholesky_gpu.cu:357-369``)."""
-    if a.dtype == jnp.float64:
+    if a.dtype == jnp.float64 or a.shape[-1] > _VMEM_MAX_N:
         from cuda_matrix_inversion_tpu.ops import xla as _xla
 
         return _xla.cholesky(a)

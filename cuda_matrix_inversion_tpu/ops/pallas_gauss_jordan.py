@@ -256,6 +256,12 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
         from cuda_matrix_inversion_tpu.ops import xla as _xla
 
         return _xla.inverse_lu(a)
+    if a.shape[-1] > 192:
+        # the augmented (n, 2n) block exceeds VMEM sooner than Cholesky —
+        # big matrices route to the XLA LU factorization
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        return _xla.inverse_lu(a)
     batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)

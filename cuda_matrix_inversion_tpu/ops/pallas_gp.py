@@ -83,8 +83,8 @@ def gp_mean_variance_fused(a, b, c, d, e, block: int | None = None,
     a, c, d — (batch, n, 1); b — (batch, n, n); e — (batch, 1, 1).
     Returns (means, variances) each (batch, 1, 1).
     """
-    if b.dtype == jnp.float64:
-        # keep f64 exact: XLA solve path instead of fp32 VMEM round-trip
+    if b.dtype == jnp.float64 or b.shape[-1] > 256:
+        # keep f64 exact / avoid VMEM overflow at big n: XLA solve path
         from cuda_matrix_inversion_tpu.ops import xla as _xla
 
         k = _xla.add_diagonal(b, c)
