@@ -24,7 +24,10 @@ def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
         list_inverse_algorithms,
     )
 
-    candidates = [n for n in list_inverse_algorithms(cpu=False)]
+    # production algorithms only — gauss_blocked_pallas is experimental
+    # and its statically-unrolled pivot search compiles for minutes
+    candidates = [n for n in list_inverse_algorithms(cpu=False)
+                  if "blocked" not in n]
     best = (None, float("inf"), None)
     for name in candidates:
         try:

@@ -91,3 +91,20 @@ def test_newton_schulz_moderate_conditioning(rng):
     a = _make_cond(6, 64, 1e2, rng).astype(np.float32)
     inv = np.asarray(inverse_newton_schulz(a))
     assert _identity_err_inf(a, inv) < 1e-4
+
+
+def test_large_n_routes_to_xla(rng):
+    # n > VMEM limit must transparently use the XLA factorization
+    a = make_spd_batch(2, 300, rng).astype(np.float32)
+    inv = np.asarray(pc.inverse_cholesky(a))
+    assert _identity_err_inf(a, inv) < 1e-3  # larger n, fp32
+
+
+def test_blocked_gauss_jordan_variant(rng):
+    from cuda_matrix_inversion_tpu.ops.pallas_gauss_jordan import (
+        inverse_gauss_jordan_blocked,
+    )
+
+    a = make_spd_batch(4, 64, rng).astype(np.float32)
+    inv = np.asarray(inverse_gauss_jordan_blocked(a))
+    assert _identity_err_inf(a, inv) < 1e-3  # gate-marginal by design
