@@ -48,6 +48,9 @@ def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
 
 
 def main() -> int:
+    from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
 
     rng = np.random.default_rng(2026)

@@ -139,6 +139,10 @@ def main(argv=None) -> int:
                    help="time H2D+kernel+D2H per rep (reference parity) instead of device-resident")
     args = p.parse_args(argv)
 
+    from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.dtype == "float64":
         from cuda_matrix_inversion_tpu.types import enable_x64
 

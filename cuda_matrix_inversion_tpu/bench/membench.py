@@ -136,6 +136,10 @@ def main(argv=None) -> int:
     p.add_argument("num_elems", type=int)
     p.add_argument("num_arrays", type=int)
     args = p.parse_args(argv)
+
+    from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     run(args.num_reps, args.num_elems, args.num_arrays)
     return 0
 

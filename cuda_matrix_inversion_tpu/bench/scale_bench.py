@@ -92,6 +92,10 @@ def main(argv=None) -> int:
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--force-cpu", action="store_true")
     args = p.parse_args(argv)
+
+    from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print(json.dumps(run(args.num, args.n, args.dtype, args.algorithm,
                          args.devices, force_cpu=args.force_cpu)))
     return 0

@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     p.add_argument("--method", default="solve")
     args = p.parse_args(argv)
 
+    from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     dirs = _find_fixture_dirs(args.fixture_root, args.kind)
     if not dirs:
         print(f"no {args.kind} fixture dirs under {args.fixture_root}", file=sys.stderr)
