@@ -44,6 +44,7 @@ from cuda_matrix_inversion_tpu.ops.registry import (
     get_inverse_algorithm,
     list_inverse_algorithms,
 )
+from cuda_matrix_inversion_tpu.engine import GPEngine, InversionEngine
 
 __version__ = "0.1.0"
 
@@ -57,5 +58,7 @@ __all__ = [
     "replicate_matrices",
     "get_inverse_algorithm",
     "list_inverse_algorithms",
+    "InversionEngine",
+    "GPEngine",
     "__version__",
 ]

@@ -1,0 +1,82 @@
+"""Tests for the serving engine (pre-compiled shape-bucketed dispatch)."""
+
+import numpy as np
+import pytest
+
+from cuda_matrix_inversion_tpu.engine import GPEngine, InversionEngine, _round_up
+from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+
+
+def test_round_up():
+    assert _round_up(5, (8, 32)) == 8
+    assert _round_up(8, (8, 32)) == 8
+    assert _round_up(9, (8, 32)) == 32
+    with pytest.raises(ValueError):
+        _round_up(33, (8, 32))
+
+
+def test_engine_serves_arbitrary_shapes(rng):
+    eng = InversionEngine(algorithm="lu")
+    for batch, n in ((3, 5), (10, 16), (8, 8)):
+        a = make_spd_batch(batch, n, rng).astype(np.float32)
+        out = eng.inverse(a)
+        assert out.shape == a.shape
+        err = np.abs(a.astype(np.float64) @ out - np.eye(n)).max()
+        assert err < 1e-4
+    # two of those shapes share a bucket → only 2 compiled executables
+    assert len(eng.compiled_shapes) == 2
+
+
+def test_engine_warmup_precompiles(rng):
+    eng = InversionEngine(algorithm="lu")
+    eng.warmup([(3, 5), (100, 16)])
+    assert eng.compiled_shapes == [(8, 8), (128, 16)]
+    a = make_spd_batch(2, 4, rng).astype(np.float32)
+    eng.inverse(a)  # hits the (8, 8) bucket, no new compile
+    assert len(eng.compiled_shapes) == 2
+
+
+def test_engine_no_retrace_at_serve_time(rng):
+    eng = InversionEngine(algorithm="lu")
+    a = make_spd_batch(4, 8, rng).astype(np.float32)
+    eng.inverse(a)
+    before = dict(eng._compiled)
+    eng.inverse(make_spd_batch(6, 7, rng).astype(np.float32))  # same buckets
+    assert dict(eng._compiled) == before
+
+
+def test_engine_single_matrix_and_empty(rng):
+    eng = InversionEngine(algorithm="lu")
+    single = make_spd_batch(1, 4, rng)[0].astype(np.float32)
+    out = eng.inverse(single)
+    assert out.shape == (1, 4, 4)
+    empty = np.zeros((0, 4, 4), np.float32)
+    assert eng.inverse(empty).shape == (0, 4, 4)
+
+
+def test_engine_check_raises_on_singular(rng):
+    from cuda_matrix_inversion_tpu.ops.host_api import SingularBatchError
+
+    eng = InversionEngine(algorithm="lu")
+    a = make_spd_batch(3, 8, rng).astype(np.float32)
+    a[2] = 0.0
+    with pytest.raises(SingularBatchError):
+        eng.inverse(a, check=True)
+
+
+def test_gp_engine(rng):
+    eng = GPEngine(method="solve")
+    batch, n = 7, 12
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    a = rng.random((batch, n, 1), dtype=np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32)
+    d = rng.random((batch, n, 1), dtype=np.float32)
+    e = rng.random((batch, 1, 1), dtype=np.float32)
+    mean, var = eng.mean_variance(a, b, c, d, e)
+    assert mean.shape == (batch, 1, 1)
+    k = b.astype(np.float64) + np.eye(n) * c[:, :, 0][:, None, :]
+    kinv = np.linalg.inv(k)
+    mref = np.transpose(a, (0, 2, 1)) @ (kinv @ d)
+    vref = e - np.transpose(a, (0, 2, 1)) @ (kinv @ a)
+    np.testing.assert_allclose(mean, mref, atol=1e-4)
+    np.testing.assert_allclose(var, vref, atol=1e-4)
