@@ -119,3 +119,19 @@ def test_membench_runs():
     buf = io.StringIO()
     res = membench.run(num_reps=2, num_elems=1024, num_arrays=2, stream=buf)
     assert res["h2d_GBps"] > 0 and res["hbm_copy_GBps"] > 0
+
+
+def test_sweep_cli_gauss_branch(fixture_root, tmp_path):
+    from cuda_matrix_inversion_tpu.bench import sweep
+
+    out = tmp_path / "gauss_rows.txt"
+    rc = sweep.main([
+        "gauss", fixture_root, "--reps", "1", "--dups", "1",
+        "--method", "lu", "--out", str(out),
+    ])
+    assert rc == 0
+    rows = plots.parse_bench_file(str(out))
+    # 2 dims x 4 timer rows (means/variances x cpu/gpu)
+    assert len(rows) == 8
+    names = {r.name for r in rows}
+    assert names == {"means_cpu", "variances_cpu", "means_gpu", "variances_gpu"}
