@@ -53,3 +53,27 @@ def test_jvp_via_transpose(rng):
     val, vjp_fn = jax.vjp(lambda x: inv(x), a)
     (g,) = vjp_fn(jnp.ones_like(val))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gp_pipeline_differentiable(rng):
+    # hyperparameter gradients through the GP pipeline (solve method uses
+    # cholesky/triangular_solve, which have VJPs)
+    from cuda_matrix_inversion_tpu.models.gp import gp_mean
+
+    batch, n = 3, 8
+    b = jnp.asarray(make_spd_batch(batch, n, rng).astype(np.float32))
+    a = jnp.asarray(rng.random((batch, n, 1), dtype=np.float32))
+    c = jnp.asarray(rng.random((batch, n, 1), dtype=np.float32))
+    d = jnp.asarray(rng.random((batch, n, 1), dtype=np.float32))
+
+    def loss(c):
+        return jnp.sum(gp_mean(a, b, c, d, method="solve"))
+
+    g = np.asarray(jax.grad(loss)(c))
+    assert g.shape == c.shape and np.isfinite(g).all()
+    # numerical check on one coordinate
+    eps = 1e-2
+    cp = np.asarray(c).copy(); cp[0, 0, 0] += eps
+    cm = np.asarray(c).copy(); cm[0, 0, 0] -= eps
+    num = (float(loss(jnp.asarray(cp))) - float(loss(jnp.asarray(cm)))) / (2 * eps)
+    assert abs(num - g[0, 0, 0]) < 5e-2 * max(1.0, abs(num))
