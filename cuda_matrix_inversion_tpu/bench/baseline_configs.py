@@ -42,7 +42,8 @@ def config1_gauss_jordan(fixtures: str) -> dict:
     a = data["a"]
     inv = np.asarray(jax.device_get(inverse_gauss_jordan(jax.device_put(a))))
     oracle = cpu_reference.inverse_gauss_jordan(a)  # the CPU reference path
-    sec = chained_op_seconds(inverse_gauss_jordan, a, iters=8, trials=3)
+    # tiny config: long chains so the slope rises above tunnel jitter
+    sec = max(chained_op_seconds(inverse_gauss_jordan, a, iters=64, trials=5), 0.0)
     return {
         "config": "gauss_jordan_inverse_100x8x8",
         "batch_ms": round(sec * 1e3, 4),
@@ -168,8 +169,17 @@ def main(argv=None) -> int:
 
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        merged = {}
+        if os.path.exists(args.out):  # merge with prior runs (by config key)
+            try:
+                with open(args.out) as f:
+                    merged = {r["config"]: r for r in json.load(f)}
+            except Exception:
+                merged = {}
+        for r in results:
+            merged[r["config"]] = r
         with open(args.out, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(list(merged.values()), f, indent=1)
     return 0
 
 
