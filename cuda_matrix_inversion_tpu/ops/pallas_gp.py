@@ -101,7 +101,15 @@ def gp_mean_variance_fused(a, b, c, d, e, block: int | None = None,
     e2 = e.astype(f32)[:, :, 0]
     b2 = b.astype(f32)
 
-    bm = block_batch(batch, n, buffers=4) if block is None else block
+    if block is not None:
+        bm = block
+    elif _panel_width(n) is not None:
+        # same tuned heuristic as the blocked Cholesky inverse: bigger
+        # batch blocks amortize the sequential per-panel small loops
+        bm = (5 * 2**19) // (n * n * 4)
+        bm = min(24, max(8, bm - bm % 8))
+    else:
+        bm = block_batch(batch, n, buffers=4)
     pad = (-batch) % bm
     if pad:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (pad, n, n))
