@@ -112,7 +112,7 @@ def inverse_newton_schulz(
         # best finite iterate we kept; a NaN x is replaced by the caller.
         return x, res
 
-    # Phase 1: cheap bf16 contraction.
+    # Phase 1: cheap bf16 contraction (see module docstring).
     x, res = phase(x0, _LO, jnp.float32(tol), max_iters)
     # Divergence fallback: if bf16 failed to contract below 1 (plateaued,
     # exploded to a large-but-finite residual, or NaN — all fail res < 1),
@@ -127,3 +127,112 @@ def inverse_newton_schulz(
     for _ in range(polish_iters):
         x, _ = step(x, _HI)
     return x.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas VMEM-resident variant
+# ---------------------------------------------------------------------------
+
+def _ns_pallas_kernel(lo_iters, hi_iters, a_ref, out_ref, tmp_ref):
+    """Newton-Schulz with A and X resident in VMEM for every iteration.
+
+    The XLA while-loop version's loop state lives in HBM, costing
+    ~4 matrix-sized HBM transfers per iteration (~0.4 ms of pure
+    bandwidth at 100×128×14 iterations); here total HBM traffic is one
+    read of A and one write of X.  Iteration count is static (no
+    adaptivity — this is the speed path for the well-conditioned batches
+    the fixtures model; `inverse_newton_schulz` remains the adaptive
+    general-purpose entry).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bm, n, _ = a_ref.shape
+    eye2 = 2.0 * (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                  == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                  ).astype(jnp.float32)
+
+    # X0 = Aᵀ / (‖A‖₁ ‖A‖∞) per matrix
+    r_inf = jnp.max(jnp.sum(jnp.abs(a_ref[:, :, :]), axis=2), axis=1)  # (BM,)
+    c_1 = jnp.max(jnp.sum(jnp.abs(a_ref[:, :, :]), axis=1), axis=1)
+    scale = (1.0 / (r_inf * c_1))[:, None]  # (BM, 1)
+    for b in range(bm):
+        out_ref[b, :, :] = a_ref[b, :, :].T * scale[b]
+
+    def one_round(prec):
+        for b in range(bm):
+            ax = jax.lax.dot_general(
+                a_ref[b, :, :], out_ref[b, :, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            tmp_ref[b, :, :] = eye2 - ax
+        for b in range(bm):
+            out_ref[b, :, :] = jax.lax.dot_general(
+                out_ref[b, :, :], tmp_ref[b, :, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+    for _ in range(lo_iters):
+        one_round(jax.lax.Precision.DEFAULT)
+    for _ in range(hi_iters):
+        one_round(jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
+                                             "interpret"))
+def inverse_newton_schulz_pallas(
+    a: jnp.ndarray,
+    lo_iters: int = 14,
+    hi_iters: int = 2,
+    block: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """VMEM-resident fixed-iteration Newton-Schulz (one Pallas launch).
+
+    The fastest inversion path, measured 3.3× the adaptive XLA version at
+    1600×128 (2.29 ms vs 7.59 ms — the win is eliminating the while-loop's
+    per-iteration HBM round-trips).  DOMAIN: the static 14+2 schedule
+    converges for κ(A) ≲ 30 — i.e. the diagonally-dominant batches this
+    library targets (κ ≈ 2–4 for the fixture construction).  Beyond that
+    the bf16 floor (≈ eps_bf16·κ) exceeds what two fp32 rounds can
+    recover; use :func:`inverse_newton_schulz` (adaptive) or the Cholesky
+    paths.  Falls back to the adaptive version for f64 or n > 256.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cuda_matrix_inversion_tpu.ops.pallas_common import (
+        block_batch,
+        default_interpret,
+        pad_batch,
+        pad_matrix_dim,
+    )
+
+    if a.dtype == jnp.float64 or a.shape[-1] > 256:
+        return inverse_newton_schulz(a)
+
+    batch = a.shape[0]
+    orig_dtype = a.dtype
+    a = a.astype(jnp.float32)
+    a, n_orig = pad_matrix_dim(a)
+    n = a.shape[-1]
+    if block is not None:
+        bm = block
+    else:
+        bm = (5 * 2**19) // (n * n * 4)  # ~2.5 MB per live buffer
+        bm = min(24, max(8, bm - bm % 8))
+    a_p, orig = pad_batch(a, bm)
+    grid = a_p.shape[0] // bm
+
+    out = pl.pallas_call(
+        functools.partial(_ns_pallas_kernel, lo_iters, hi_iters),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, n, n), jnp.float32)],
+        interpret=default_interpret(interpret),
+    )(a_p)
+    return out[:orig, :n_orig, :n_orig].astype(orig_dtype)

@@ -33,6 +33,8 @@ def _populate() -> None:
     from cuda_matrix_inversion_tpu.ops import newton_schulz
 
     register_inverse("newton_schulz", newton_schulz.inverse_newton_schulz)
+    register_inverse("newton_schulz_pallas",
+                     newton_schulz.inverse_newton_schulz_pallas)
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan
 

@@ -108,3 +108,18 @@ def test_blocked_gauss_jordan_variant(rng):
     a = make_spd_batch(4, 64, rng).astype(np.float32)
     inv = np.asarray(inverse_gauss_jordan_blocked(a))
     assert _identity_err_inf(a, inv) < 1e-3  # gate-marginal by design
+
+
+def test_newton_schulz_pallas_variant(rng):
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = make_spd_batch(10, 32, rng).astype(np.float32)
+    inv = np.asarray(inverse_newton_schulz_pallas(a))
+    assert _identity_err_inf(a, inv) < 1e-4
+    # f64 routes to the adaptive/XLA path and stays exact
+    a64 = make_spd_batch(3, 16, rng)
+    inv64 = np.asarray(inverse_newton_schulz_pallas(a64))
+    assert inv64.dtype == np.float64
+    assert _identity_err_inf(a64, inv64) < 1e-12
