@@ -86,13 +86,13 @@ def run_bench(
         rep.report("variances_cpu")
 
     # --- device phase: fused jit pipelines on TPU ---
-    if method == "pallas":
+    if method in ("pallas", "pallas_ns"):
         # single-launch fused kernel computes both; split for the two timers
         mean_j = lambda a_, b_, c_, d_: gp.gp_mean_variance(  # noqa: E731
             a_, b_, c_, d_, jnp.zeros((a_.shape[0], 1, 1), a_.dtype),
-            method="pallas")[0]
+            method=method)[0]
         var_j = lambda a_, b_, c_, e_: gp.gp_mean_variance(  # noqa: E731
-            a_, b_, c_, a_, e_, method="pallas")[1]
+            a_, b_, c_, a_, e_, method=method)[1]
     else:
         mean_j = lambda *xs: gp.gp_mean(*xs, method=method)  # noqa: E731
         var_j = lambda *xs: gp.gp_variance(*xs, method=method)  # noqa: E731
@@ -212,9 +212,11 @@ def main(argv=None) -> int:
     p.add_argument("num_duplicates", type=int)
     p.add_argument("-csv", action="store_true", dest="csv")
     p.add_argument("--method", default="solve",
-                   choices=["solve", "inverse", "lu", "newton_schulz", "pallas"],
+                   choices=["solve", "inverse", "lu", "newton_schulz",
+                            "pallas", "pallas_ns"],
                    help="solve = the reference's -DGAUSS_SOLVE build; lu = its "
-                        "GPU pipeline; pallas = single fused kernel launch")
+                        "GPU pipeline; pallas = single fused kernel launch; "
+                        "pallas_ns = fused VMEM Newton-Schulz (fastest)")
     p.add_argument("--stages", action="store_true",
                    help="emit the DETAILED_LOGGING per-stage split (un-fused)")
     p.add_argument("--skip-cpu", action="store_true")

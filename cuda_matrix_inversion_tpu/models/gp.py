@@ -85,6 +85,12 @@ def gp_mean_variance(a, b, c, d, e, method: str = "solve"):
         from cuda_matrix_inversion_tpu.ops.pallas_gp import gp_mean_variance_fused
 
         return gp_mean_variance_fused(a, b, c, d, e)
+    if method == "pallas_ns":
+        from cuda_matrix_inversion_tpu.ops.pallas_gp import (
+            gp_mean_variance_fused_ns,
+        )
+
+        return gp_mean_variance_fused_ns(a, b, c, d, e)
     rhs = jnp.concatenate([d, a], axis=-1)  # (batch, n, 2)
     x = _kinv_apply(b, c, rhs, method)
     at = jnp.swapaxes(a, -1, -2)

@@ -104,3 +104,32 @@ def test_gp_model_pallas_method(fixture_root):
         *(np.asarray(data[k]) for k in "abcde"), method="pallas")
     assert np.abs(np.asarray(mean) - data["means"]).max() < 1e-4
     assert np.abs(np.asarray(var) - data["variances"]).max() < 1e-4
+
+
+@pytest.mark.parametrize("n", [16, 64])
+def test_fused_gp_ns_kernel(n, rng):
+    from cuda_matrix_inversion_tpu.ops.pallas_gp import gp_mean_variance_fused_ns
+
+    batch = 6
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    a = rng.random((batch, n, 1), dtype=np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32)
+    d = rng.random((batch, n, 1), dtype=np.float32)
+    e = rng.random((batch, 1, 1), dtype=np.float32)
+    mean, var = gp_mean_variance_fused_ns(a, b, c, d, e)
+    mref, vref = _gp_ref(a, b, c, d, e)
+    assert np.abs(np.asarray(mean) - mref).max() < 1e-4
+    assert np.abs(np.asarray(var) - vref).max() < 1e-4
+
+
+def test_gp_model_pallas_ns_method(fixture_root):
+    import os
+
+    from cuda_matrix_inversion_tpu.io.mats import read_test_folder
+    from cuda_matrix_inversion_tpu.models import gp
+
+    data = read_test_folder(os.path.join(fixture_root, "gaussian_20_16x16"), dtype=np.float32)
+    mean, var = gp.gp_mean_variance(
+        *(np.asarray(data[k]) for k in "abcde"), method="pallas_ns")
+    assert np.abs(np.asarray(mean) - data["means"]).max() < 1e-4
+    assert np.abs(np.asarray(var) - data["variances"]).max() < 1e-4
