@@ -79,7 +79,7 @@ def config3_gp_mean(fixtures: str) -> dict:
     from cuda_matrix_inversion_tpu.models.gp import gp_mean_variance
 
     g = read_test_folder(os.path.join(fixtures, "gaussian_100_128x128"))
-    fn = lambda *xs: gp_mean_variance(*xs, method="pallas")  # noqa: E731
+    fn = lambda *xs: gp_mean_variance(*xs, method="pallas_ns")  # noqa: E731
     mean, var = (np.asarray(jax.device_get(x)) for x in
                  fn(*(jax.device_put(g[k]) for k in "abcde")))
     secs = looped_pipeline_samples(fn, [g[k] for k in "abcde"], iters=8,
@@ -119,7 +119,7 @@ def config4_mixed_dim() -> dict:
 def config5_scale(fp64: bool) -> dict:
     from cuda_matrix_inversion_tpu.bench import scale_bench
 
-    out = scale_bench.run(10000, 128, "float32", "newton_schulz", None)
+    out = scale_bench.run(10000, 128, "float32", "newton_schulz_pallas", None)
     result = {"config": "scale_10k_128x128", "fp32": out}
     if fp64:
         # fp64 on a CPU mesh (TPU expanders reject f64); smaller batch to

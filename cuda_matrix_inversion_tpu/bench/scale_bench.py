@@ -88,7 +88,7 @@ def main(argv=None) -> int:
     p.add_argument("--num", type=int, default=10000)
     p.add_argument("--n", type=int, default=128)
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
-    p.add_argument("--algorithm", default="newton_schulz")
+    p.add_argument("--algorithm", default="newton_schulz_pallas")
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--force-cpu", action="store_true")
     args = p.parse_args(argv)
