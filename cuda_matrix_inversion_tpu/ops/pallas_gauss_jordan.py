@@ -67,15 +67,14 @@ def _gauss_jordan_kernel(a_ref, out_ref, work_ref):
         rowp = jnp.sum(work_ref[:, :, :] * pmask[:, :, None], axis=1)  # (BM, 2N)
 
         # ---- swap rows k <-> p (arithmetic blend on f32 masks: Mosaic
-        # cannot materialize 3-D bool vectors; note p == k must blend to
-        # the identity, hence the disjoint is_p_only mask) ----
+        # cannot materialize 3-D bool vectors).  Only row p needs the
+        # blend — row k is overwritten with the normalized pivot row at
+        # the end of the step, so its half of the swap is skipped
+        # (saves a full-width pass + a mask relayout per step). ----
         kmask = (lanes_n == k).astype(jnp.float32)  # (BM, N)
-        is_k = kmask[:, :, None]
         is_p_only = (pmask * (1.0 - kmask))[:, :, None]
         work = work_ref[:, :, :]
-        swapped = (work
-                   + is_k * (rowp[:, None, :] - work)
-                   + is_p_only * (rowk[:, None, :] - work))
+        swapped = work + is_p_only * (rowk[:, None, :] - work)
 
         # ---- normalize pivot row, eliminate ----
         pivot = jnp.sum(jnp.where(lanes_aug == k, rowp, 0.0), axis=1,
@@ -118,11 +117,11 @@ def _gj_small_inverse_body(n: int, work2_ref):
         rowk = work2_ref[:, pl.ds(k, 1), :][:, 0, :]
         rowp = jnp.sum(work2_ref[:, :, :] * pmask[:, :, None], axis=1)
         kmask = (lanes_n == k).astype(jnp.float32)
-        is_k = kmask[:, :, None]
+        # row k's half of the swap is skipped — it is overwritten with the
+        # normalized pivot row below (see the main kernel's comment)
         is_p_only = (pmask * (1.0 - kmask))[:, :, None]
         work = work2_ref[:, :, :]
-        swapped = (work + is_k * (rowp[:, None, :] - work)
-                   + is_p_only * (rowk[:, None, :] - work))
+        swapped = work + is_p_only * (rowk[:, None, :] - work)
         pivot = jnp.sum(jnp.where(lanes_aug == k, rowp, 0.0), axis=1,
                         keepdims=True)
         rownorm = rowp / pivot
