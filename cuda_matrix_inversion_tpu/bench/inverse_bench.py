@@ -50,6 +50,7 @@ DEFAULT_ALGORITHMS = (
     "cholesky",
     "gauss_pallas",
     "cholesky_pallas",
+    "newton_schulz_pallas",
 )
 
 
