@@ -62,7 +62,7 @@ def config2_cholesky_spd(fixtures: str) -> dict:
 
     a = read_mats(os.path.join(fixtures, "spd_100_64_64.mats"))
     inv = np.asarray(jax.device_get(inverse_cholesky(jax.device_put(a))))
-    sec = chained_op_seconds(inverse_cholesky, a, iters=16, trials=3)
+    sec = max(chained_op_seconds(inverse_cholesky, a, iters=16, trials=3), 0.0)
     return {
         "config": "cholesky_inverse_spd_100x64x64",
         "batch_ms": round(sec * 1e3, 4),

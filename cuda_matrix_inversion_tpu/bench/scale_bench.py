@@ -63,7 +63,8 @@ def run(num: int, n: int, dtype: str, algorithm: str, n_devices: int | None,
     a_dev = jax.device_put(a_pad, sharding)
 
     fn = get_inverse_algorithm(algorithm)
-    sec = chained_op_seconds(fn, a_dev, iters=iters, trials=trials)
+    # clamp: slope timing can go slightly negative under tunnel jitter
+    sec = max(chained_op_seconds(fn, a_dev, iters=iters, trials=trials), 1e-9)
 
     # accuracy gate on a host-side sample
     out = jax.jit(fn)(a_dev)

@@ -5,7 +5,7 @@ for seconds; SURVEY §5 "checkpoint/resume: none").  For serving, the
 latency killers on TPU are (re)compilation and shape churn; the engine
 removes both:
 
-* a fixed set of (algorithm, bucket, dtype) entry points is compiled
+* a fixed set of (batch-bucket, dim-bucket) entry points is compiled
   once at startup (``warmup()``), backed by the persistent compilation
   cache (`utils/cache.py`) so process restarts are cheap;
 * requests of any batch size / matrix size are padded to the nearest
@@ -20,8 +20,7 @@ trips inside a request beyond input/output transfer.
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
@@ -36,8 +35,68 @@ def _round_up(value: int, buckets: Sequence[int]) -> int:
     raise ValueError(f"{value} exceeds largest bucket {buckets[-1]}")
 
 
-@dataclass
-class InversionEngine:
+class _BucketedEngine:
+    """Shared machinery: bucket rounding, the (batch, dim) → compiled
+    executable cache, warmup, and identity/zero padding helpers.
+    Subclasses implement ``_lower(batch_b, dim_b) -> compiled``."""
+
+    def __init__(self, dim_buckets=DEFAULT_DIM_BUCKETS,
+                 batch_buckets=DEFAULT_BATCH_BUCKETS, dtype="float32"):
+        from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.dim_buckets = dim_buckets
+        self.batch_buckets = batch_buckets
+        self.dtype = dtype
+        self._compiled: Dict[Tuple[int, int], object] = {}
+        self._lock = threading.Lock()
+
+    def _get_executable(self, batch_b: int, dim_b: int):
+        key = (batch_b, dim_b)
+        with self._lock:
+            exe = self._compiled.get(key)
+        if exe is not None:
+            return exe
+        exe = self._lower(batch_b, dim_b)
+        with self._lock:
+            self._compiled[key] = exe
+        return exe
+
+    def _buckets_for(self, batch: int, n: int) -> Tuple[int, int]:
+        return (_round_up(batch, self.batch_buckets),
+                _round_up(n, self.dim_buckets))
+
+    def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
+        """Pre-compile for (batch, n) shapes (bucketed) before serving."""
+        for batch, n in shapes:
+            self._get_executable(*self._buckets_for(batch, n))
+
+    @property
+    def compiled_shapes(self):
+        with self._lock:
+            return sorted(self._compiled)
+
+    # -- padding helpers ---------------------------------------------------
+    def _pad_square(self, m: np.ndarray, batch_b: int, dim_b: int) -> np.ndarray:
+        """(batch, n, n) → (batch_b, dim_b, dim_b); identity blocks keep
+        every padded matrix invertible and un-padding exact."""
+        batch, n = m.shape[0], m.shape[-1]
+        dt = np.dtype(self.dtype)
+        out = np.zeros((batch_b, dim_b, dim_b), dt)
+        out[:batch, :n, :n] = m
+        if dim_b > n:
+            out[:, n:, n:] = np.eye(dim_b - n, dtype=dt)
+        if batch_b > batch:
+            out[batch:] = np.eye(dim_b, dtype=dt)
+        return out
+
+    def _pad_vec(self, v: np.ndarray, batch_b: int, dim_b: int) -> np.ndarray:
+        batch, n = v.shape[0], v.shape[1]
+        return np.pad(v.reshape(batch, n, 1),
+                      ((0, batch_b - batch), (0, dim_b - n), (0, 0)))
+
+
+class InversionEngine(_BucketedEngine):
     """Pre-compiled batched-inversion service.
 
     Example::
@@ -47,50 +106,19 @@ class InversionEngine:
         out = eng.inverse(batch)           # (b, n, n) ndarray in/out
     """
 
-    algorithm: str = "newton_schulz"
-    dim_buckets: Sequence[int] = DEFAULT_DIM_BUCKETS
-    batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS
-    dtype: str = "float32"
-    _compiled: Dict[Tuple[int, int], object] = field(default_factory=dict)
-    _lock: threading.Lock = field(default_factory=threading.Lock)
+    def __init__(self, algorithm: str = "newton_schulz", **kw):
+        super().__init__(**kw)
+        self.algorithm = algorithm
 
-    def __post_init__(self):
-        from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
-
-        enable_compilation_cache()
-
-    # -- compilation ------------------------------------------------------
-    def _get_executable(self, batch_b: int, dim_b: int):
+    def _lower(self, batch_b: int, dim_b: int):
         import jax
 
         from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
 
-        key = (batch_b, dim_b)
-        with self._lock:
-            exe = self._compiled.get(key)
-        if exe is not None:
-            return exe
         fn = get_inverse_algorithm(self.algorithm)
         spec = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), np.dtype(self.dtype))
-        exe = jax.jit(fn).lower(spec).compile()
-        with self._lock:
-            self._compiled[key] = exe
-        return exe
+        return jax.jit(fn).lower(spec).compile()
 
-    def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
-        """Pre-compile for (batch, n) shapes (bucketed) before serving."""
-        for batch, n in shapes:
-            self._get_executable(
-                _round_up(batch, self.batch_buckets),
-                _round_up(n, self.dim_buckets),
-            )
-
-    @property
-    def compiled_shapes(self):
-        with self._lock:
-            return sorted(self._compiled)
-
-    # -- serving ----------------------------------------------------------
     def inverse(self, a: np.ndarray, check: bool = False) -> np.ndarray:
         """Invert a (batch, n, n) batch; any size within the buckets."""
         import jax
@@ -103,16 +131,8 @@ class InversionEngine:
         batch, n = a.shape[0], a.shape[-1]
         if batch == 0:
             return a.copy()
-        batch_b = _round_up(batch, self.batch_buckets)
-        dim_b = _round_up(n, self.dim_buckets)
-
-        padded = np.zeros((batch_b, dim_b, dim_b), dtype=a.dtype)
-        padded[:batch, :n, :n] = a
-        if dim_b > n:  # identity block keeps every matrix invertible
-            padded[:, n:, n:] = np.eye(dim_b - n, dtype=a.dtype)
-        if batch_b > batch:  # identity matrices in the batch pad
-            padded[batch:] = np.eye(dim_b, dtype=a.dtype)
-
+        batch_b, dim_b = self._buckets_for(batch, n)
+        padded = self._pad_square(a, batch_b, dim_b)
         exe = self._get_executable(batch_b, dim_b)
         out = np.asarray(jax.device_get(exe(jax.device_put(padded))))
         result = out[:batch, :n, :n]
@@ -125,49 +145,25 @@ class InversionEngine:
         return np.ascontiguousarray(result)
 
 
-@dataclass
-class GPEngine:
+class GPEngine(_BucketedEngine):
     """Pre-compiled GP mean/variance service (same bucketing strategy)."""
 
-    method: str = "solve"
-    dim_buckets: Sequence[int] = DEFAULT_DIM_BUCKETS
-    batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS
-    dtype: str = "float32"
-    _compiled: Dict[Tuple[int, int], object] = field(default_factory=dict)
-    _lock: threading.Lock = field(default_factory=threading.Lock)
+    def __init__(self, method: str = "solve", **kw):
+        super().__init__(**kw)
+        self.method = method
 
-    def __post_init__(self):
-        from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
-
-        enable_compilation_cache()
-
-    def _get_executable(self, batch_b: int, dim_b: int):
+    def _lower(self, batch_b: int, dim_b: int):
         import jax
 
         from cuda_matrix_inversion_tpu.models.gp import gp_mean_variance
 
-        key = (batch_b, dim_b)
-        with self._lock:
-            exe = self._compiled.get(key)
-        if exe is not None:
-            return exe
         dt = np.dtype(self.dtype)
         vec = jax.ShapeDtypeStruct((batch_b, dim_b, 1), dt)
         mat = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), dt)
         scl = jax.ShapeDtypeStruct((batch_b, 1, 1), dt)
         fn = lambda a, b, c, d, e: gp_mean_variance(  # noqa: E731
             a, b, c, d, e, method=self.method)
-        exe = jax.jit(fn).lower(vec, mat, vec, vec, scl).compile()
-        with self._lock:
-            self._compiled[key] = exe
-        return exe
-
-    def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
-        for batch, n in shapes:
-            self._get_executable(
-                _round_up(batch, self.batch_buckets),
-                _round_up(n, self.dim_buckets),
-            )
+        return jax.jit(fn).lower(vec, mat, vec, vec, scl).compile()
 
     def mean_variance(self, a, b, c, d, e):
         """Batched GP mean/variance; returns two (batch, 1, 1) ndarrays."""
@@ -180,18 +176,12 @@ class GPEngine:
         if batch == 0:
             z = np.zeros((0, 1, 1), dt)
             return z, z.copy()
-        batch_b = _round_up(batch, self.batch_buckets)
-        dim_b = _round_up(n, self.dim_buckets)
+        batch_b, dim_b = self._buckets_for(batch, n)
 
-        bp = np.zeros((batch_b, dim_b, dim_b), dt)
-        bp[:batch, :n, :n] = b
-        if dim_b > n:
-            bp[:, n:, n:] = np.eye(dim_b - n, dtype=dt)
-        if batch_b > batch:
-            bp[batch:] = np.eye(dim_b, dtype=dt)
-        pad_vec = lambda v: np.pad(  # noqa: E731
-            v.reshape(batch, n, 1), ((0, batch_b - batch), (0, dim_b - n), (0, 0)))
-        ap, cp, dp = pad_vec(a), pad_vec(c), pad_vec(d)
+        bp = self._pad_square(b, batch_b, dim_b)
+        ap = self._pad_vec(a, batch_b, dim_b)
+        cp = self._pad_vec(c, batch_b, dim_b)
+        dp = self._pad_vec(d, batch_b, dim_b)
         ep = np.pad(e.reshape(batch, 1, 1), ((0, batch_b - batch), (0, 0), (0, 0)))
 
         exe = self._get_executable(batch_b, dim_b)

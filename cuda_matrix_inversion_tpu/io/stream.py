@@ -89,31 +89,49 @@ class DeviceBatchStream:
         import jax
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment: a plain
+            # q.put would block forever (leaking the thread + prefetched
+            # HBM batches) if the caller breaks out of the loop early
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for host in self._host_batches():
+                    if stop.is_set():
+                        return
                     if self.transform is not None:
                         host = self.transform(host)
                     # async: returns immediately, transfer proceeds in
                     # the background while the consumer computes
                     target = self.sharding if self.sharding is not None else self.device
-                    dev = jax.device_put(host, target)
-                    q.put(dev)
+                    if not put(jax.device_put(host, target)):
+                        return
             except BaseException as exc:  # surfaced on the consumer side
                 self._error = exc
             finally:
-                q.put(self._END)
+                put(self._END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._END:
-                if self._error is not None:
-                    raise self._error
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._END:
+                    if self._error is not None:
+                        raise self._error
+                    return
+                yield item
+        finally:
+            stop.set()  # GeneratorExit / break: release the producer
 
 
 def stream_inverse(

@@ -14,47 +14,55 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 #include <fcntl.h>
-#include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
 namespace {
 
+// Whole-file read into a NUL-terminated buffer.  (An earlier mmap version
+// was unsafe: strtod/strtoll are unbounded scanners, so a file ending in a
+// digit at a page boundary would read past the mapping.  The explicit
+// terminator bounds every strto* call.)
 struct Mapped {
+  std::vector<char> buf;
   const char *data = nullptr;
   size_t size = 0;
-  int fd = -1;
   bool ok() const { return data != nullptr; }
 };
 
 Mapped map_file(const char *path) {
   Mapped m;
-  m.fd = open(path, O_RDONLY);
-  if (m.fd < 0) return m;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return m;
   struct stat st;
-  if (fstat(m.fd, &st) != 0 || st.st_size == 0) {
-    close(m.fd);
-    m.fd = -1;
+  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    close(fd);
     return m;
   }
-  void *p = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, m.fd, 0);
-  if (p == MAP_FAILED) {
-    close(m.fd);
-    m.fd = -1;
-    return m;
+  m.buf.resize(static_cast<size_t>(st.st_size) + 1);
+  size_t got = 0;
+  while (got < static_cast<size_t>(st.st_size)) {
+    ssize_t r = read(fd, m.buf.data() + got, st.st_size - got);
+    if (r <= 0) {
+      close(fd);
+      return m;
+    }
+    got += static_cast<size_t>(r);
   }
-  m.data = static_cast<const char *>(p);
-  m.size = static_cast<size_t>(st.st_size);
+  close(fd);
+  m.buf[got] = '\0';
+  m.data = m.buf.data();
+  m.size = got;
   return m;
 }
 
 void unmap(Mapped &m) {
-  if (m.data) munmap(const_cast<char *>(m.data), m.size);
-  if (m.fd >= 0) close(m.fd);
+  m.buf.clear();
   m.data = nullptr;
-  m.fd = -1;
+  m.size = 0;
 }
 
 // Parse the "num\tm\tn" header; returns offset just past the header line, or 0 on error.
@@ -107,9 +115,15 @@ int64_t matsio_read(const char *path, double *out, int64_t count) {
   while (i < count && p < end) {
     char *next = nullptr;
     double v = strtod(p, &next);
-    if (next == p) {  // non-numeric garbage: skip one byte (handles stray seps)
-      ++p;
-      continue;
+    if (next == p) {
+      // strict parsing, matching the Python fallback's semantics: only
+      // whitespace separators may be skipped; any other byte means a
+      // malformed file and the caller gets a count mismatch error.
+      if (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r') {
+        ++p;
+        continue;
+      }
+      break;
     }
     out[i++] = v;
     p = next;

@@ -27,7 +27,7 @@ def _load() -> Optional[ctypes.CDLL]:
     if path is None:
         return None
     try:
-        lib = ctypes.CDLL(path)
+        lib = ctypes.CDLL(path, use_errno=True)
         lib.matsio_header.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64),
@@ -91,7 +91,9 @@ def write_mats(path: str, arr: np.ndarray, precision: int = 17) -> None:
     num, m, n = arr.shape
     rc = lib.matsio_write(path.encode(), arr.reshape(-1), num, m, n, precision)
     if rc != 0:
-        raise IOError(f"matsio: failed writing {path} (errno={os.strerror(ctypes.get_errno())})")
+        err = ctypes.get_errno()
+        raise IOError(f"matsio: failed writing {path}"
+                      + (f" ({os.strerror(err)})" if err else ""))
 
 
 def replicate(arr: np.ndarray, times: int) -> np.ndarray:

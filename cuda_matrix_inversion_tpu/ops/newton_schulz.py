@@ -219,8 +219,9 @@ def inverse_newton_schulz_pallas(
     if block is not None:
         bm = block
     else:
-        bm = (5 * 2**19) // (n * n * 4)  # ~2.5 MB per live buffer
-        bm = min(24, max(8, bm - bm % 8))
+        from cuda_matrix_inversion_tpu.ops.pallas_common import tuned_block
+
+        bm = tuned_block(n)
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
 

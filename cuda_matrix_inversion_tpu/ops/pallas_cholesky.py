@@ -44,6 +44,7 @@ from cuda_matrix_inversion_tpu.ops.pallas_common import (
     default_interpret,
     pad_batch,
     pad_matrix_dim,
+    tuned_block,
 )
 
 
@@ -278,10 +279,7 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         # per-panel small loops (measured optimum ≈ 24 at n=128).  VMEM
         # carries ~4 (BM,N,N) buffers (work + lt scratch, aliased out,
         # pipelined in), so budget ≈ 4 MB per buffer.
-        # ~5 buffers live at once (work, lt, aliased out, double-buffered
-        # in) → ~2.5 MB budget per buffer keeps the total under 16 MB
-        bm = (5 * 2**19) // (n * n * 4)
-        bm = min(24, max(8, bm - bm % 8))
+        bm = tuned_block(n)
     else:
         bm = block_batch(batch, n)
     a_p, orig = pad_batch(a, bm)

@@ -16,18 +16,27 @@ def default_interpret(interpret: bool | None) -> bool:
 
 def block_batch(batch: int, n: int, vmem_budget_bytes: int = 10 * 2**20,
                 buffers: int = 5) -> int:
-    """Matrices per grid cell: fill ~10 MB of VMEM across ``buffers``
-    (BM, N, N) fp32 buffers, clamped to [1, 8] and to the batch size.
+    """Matrices per grid cell for the simple (rank-1) kernels.
 
-    8 is a sweet spot: the (8, N) per-column ops land on full (8, 128)
-    VPU tiles, and 8×128×128×4B×buffers ≈ 2.6 MB leaves headroom for
-    double-buffered pipelining of the input/output blocks.
+    Always ≥ 8 regardless of ``batch``: BM < 8 creates degenerate
+    sub-tile shapes Mosaic can't lower, so tiny batches pad up instead
+    (``pad_batch``).  8 is also the sweet spot for the rank-1 kernels:
+    the (8, N) per-column ops land on full (8, 128) VPU tiles.  ``batch``
+    is accepted for signature stability but does not reduce the block.
     """
+    del batch
     per_matrix = n * n * 4 * buffers
     bm = max(1, min(8, vmem_budget_bytes // max(per_matrix, 1)))
-    # never clamp to a tiny batch: BM < 8 creates degenerate sub-tile
-    # shapes Mosaic can't lower (the batch axis pads up instead)
-    return int(bm)
+    return int(max(bm, 8)) if per_matrix * 8 <= vmem_budget_bytes else int(bm)
+
+
+def tuned_block(n: int, numerator: int = 5 * 2**19, max_bm: int = 24) -> int:
+    """Batch block for the MXU-blocked kernels: big blocks amortize the
+    sequential per-panel small loops (measured optimum 24 at n=128 for
+    ~5 live (BM,N,N) buffers).  ``numerator`` ≈ VMEM budget per buffer;
+    lower it (and ``max_bm``) for kernels with more live buffers."""
+    bm = numerator // (n * n * 4)
+    return min(max_bm, max(8, bm - bm % 8))
 
 
 def pad_matrix_dim(a: jnp.ndarray, multiple: int = 8):

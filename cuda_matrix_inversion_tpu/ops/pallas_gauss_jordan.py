@@ -300,6 +300,12 @@ def inverse_gauss_jordan_blocked(a: jnp.ndarray, block: int | None = None,
     *gate-passing* general-matrix path is Newton-Schulz, with the rank-1
     GJ as the pivoting reference.
     """
+    if a.dtype == jnp.float64 or a.shape[-1] > 192:
+        # same routing rules as the rank-1 kernel: f64 exactness and the
+        # augmented-system VMEM ceiling both go to XLA LU
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        return _xla.inverse_lu(a)
     batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)

@@ -41,7 +41,25 @@ from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
 from cuda_matrix_inversion_tpu.ops.pallas_common import (
     block_batch,
     default_interpret,
+    tuned_block,
 )
+
+
+
+def _pad_gp_system(a, b, c, d):
+    """Pad n up to a multiple of 8 (Mosaic tile alignment): identity block
+    in B, zero rows in the vectors — exact, contributes nothing."""
+    n = b.shape[-1]
+    target = max(8, -(-n // 8) * 8)
+    if target == n:
+        return a, b, c, d, n
+    pad = target - n
+    batch = b.shape[0]
+    bp = jnp.zeros((batch, target, target), b.dtype)
+    bp = bp.at[:, :n, :n].set(b)
+    bp = bp.at[:, n:, n:].set(jnp.eye(pad, dtype=b.dtype))
+    zpad = lambda v: jnp.pad(v, ((0, 0), (0, pad), (0, 0)))  # noqa: E731
+    return zpad(a), bp, zpad(c), zpad(d), n
 
 
 def _gp_kernel(pw, a_ref, b_ref, c_ref, d_ref, e_ref, out_ref,
@@ -94,6 +112,7 @@ def gp_mean_variance_fused(a, b, c, d, e, block: int | None = None,
                           precision=jax.lax.Precision.HIGHEST)
         return proj[:, :, 0:1], e - proj[:, :, 1:2]
 
+    a, b, c, d, _n_orig = _pad_gp_system(a, b, c, d)
     batch, n, _ = b.shape
     orig_dtype = b.dtype
     f32 = jnp.float32
@@ -104,10 +123,7 @@ def gp_mean_variance_fused(a, b, c, d, e, block: int | None = None,
     if block is not None:
         bm = block
     elif _panel_width(n) is not None:
-        # same tuned heuristic as the blocked Cholesky inverse: bigger
-        # batch blocks amortize the sequential per-panel small loops
-        bm = (5 * 2**19) // (n * n * 4)
-        bm = min(24, max(8, bm - bm % 8))
+        bm = tuned_block(n)
     else:
         bm = block_batch(batch, n, buffers=4)
     pad = (-batch) % bm
@@ -221,6 +237,7 @@ def gp_mean_variance_fused_ns(a, b, c, d, e, block: int | None = None,
         # Cholesky-fused kernel (which itself falls back past 256)
         return gp_mean_variance_fused(a, b, c, d, e)
 
+    a, b, c, d, _n_orig = _pad_gp_system(a, b, c, d)
     batch, n, _ = b.shape
     orig_dtype = b.dtype
     f32 = jnp.float32
@@ -233,8 +250,7 @@ def gp_mean_variance_fused_ns(a, b, c, d, e, block: int | None = None,
     else:
         # ~11 (BM,N,N)-scale buffers live (K, X, tmp + double-buffered B
         # + vectors/out) — BM=16 at n=128 is the VMEM ceiling
-        bm = (2 * 2**19) // (n * n * 4)
-        bm = min(16, max(8, bm - bm % 8))
+        bm = tuned_block(n, numerator=2 * 2**19, max_bm=16)
     pad = (-batch) % bm
     if pad:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (pad, n, n))

@@ -133,3 +133,35 @@ def test_gp_model_pallas_ns_method(fixture_root):
         *(np.asarray(data[k]) for k in "abcde"), method="pallas_ns")
     assert np.abs(np.asarray(mean) - data["means"]).max() < 1e-4
     assert np.abs(np.asarray(var) - data["variances"]).max() < 1e-4
+
+
+def test_fused_gp_odd_n_padding(rng):
+    # n not a multiple of 8 must be tile-padded (identity block), not crash
+    from cuda_matrix_inversion_tpu.ops.pallas_gp import (
+        gp_mean_variance_fused,
+        gp_mean_variance_fused_ns,
+    )
+
+    batch, n = 4, 12
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    a = rng.random((batch, n, 1), dtype=np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32)
+    d = rng.random((batch, n, 1), dtype=np.float32)
+    e = rng.random((batch, 1, 1), dtype=np.float32)
+    mref, vref = _gp_ref(a, b, c, d, e)
+    for fn in (gp_mean_variance_fused, gp_mean_variance_fused_ns):
+        mean, var = fn(a, b, c, d, e)
+        assert mean.shape == (batch, 1, 1)
+        assert np.abs(np.asarray(mean) - mref).max() < 1e-4
+        assert np.abs(np.asarray(var) - vref).max() < 1e-4
+
+
+def test_blocked_gj_f64_and_large_n_route_to_xla(rng):
+    from cuda_matrix_inversion_tpu.ops.pallas_gauss_jordan import (
+        inverse_gauss_jordan_blocked,
+    )
+
+    a64 = make_spd_batch(2, 16, rng)  # float64
+    inv = np.asarray(inverse_gauss_jordan_blocked(a64))
+    assert inv.dtype == np.float64
+    assert _identity_err_inf(a64, inv) < 1e-12

@@ -101,3 +101,19 @@ def test_fused_gp_fp64(rng):
     kinv = np.linalg.inv(k)
     mref = np.transpose(a, (0, 2, 1)) @ (kinv @ d)
     assert np.abs(np.asarray(mean) - mref).max() < 1e-12
+
+
+def test_stream_consumer_abandonment_releases_producer(tmp_path, rng):
+    import threading
+    import time
+
+    arrays = [rng.standard_normal((2, 3, 3)).astype(np.float32) for _ in range(50)]
+    before = threading.active_count()
+    for batch in DeviceBatchStream(arrays, prefetch=1):
+        break  # abandon immediately
+    # producer must notice and exit (daemon threads drain within ~200ms)
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= before
