@@ -33,8 +33,14 @@ def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
         try:
             fn = get_inverse_algorithm(name)
             # dependency-chained slope timing — see bench/timing.py for why
-            # plain block_until_ready cannot be trusted here
-            med = chained_op_seconds(fn, a_host, iters=8, trials=5) * 1e3
+            # plain block_until_ready cannot be trusted here.  Tunnel
+            # jitter can make short-chain slopes non-positive; retry with
+            # longer chains and reject the candidate if still unphysical.
+            med = chained_op_seconds(fn, a_host, iters=16, trials=5) * 1e3
+            if med <= 0:
+                med = chained_op_seconds(fn, a_host, iters=64, trials=5) * 1e3
+            if med <= 0:
+                continue
             # accuracy gate per algorithm
             inv = np.asarray(jax.device_get(jax.jit(fn)(jax.device_put(a_host))),
                              dtype=np.float64)
