@@ -49,6 +49,7 @@ DEFAULT_ALGORITHMS = (
     "lu",
     "cholesky",
     "gauss_pallas",
+    "lu_pallas",
     "cholesky_pallas",
     "newton_schulz_pallas",
 )

@@ -49,6 +49,12 @@ def _populate() -> None:
         register_inverse("cholesky_pallas", pallas_cholesky.inverse_cholesky)
     except ImportError:
         pass
+    try:
+        from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+        register_inverse("lu_pallas", pallas_lu.inverse_lu)
+    except ImportError:
+        pass
 
     # CPU oracle paths — analog of inverse_lu_blas / inverse_chol_blas
     register_inverse("lu_cpu", cpu_reference.inverse_lu, cpu=True)

@@ -123,3 +123,102 @@ def test_newton_schulz_pallas_variant(rng):
     inv64 = np.asarray(inverse_newton_schulz_pallas(a64))
     assert inv64.dtype == np.float64
     assert _identity_err_inf(a64, inv64) < 1e-12
+
+
+# ---------------- Blocked LU with partial pivoting ----------------
+
+def _general_batch(batch, n, rng=None, zero_diag=True):
+    """Non-symmetric diag-dominant; zero diag entry forces pivoting.
+
+    Uses a local deterministic rng by default — the zeroed diagonal makes
+    these κ≈1e3-1e4 stress matrices, where fp32 residuals depend on the
+    draw, so the tests must not share the session rng stream."""
+    rng = np.random.default_rng(n * 1000 + batch) if rng is None else rng
+    a = rng.standard_normal((batch, n, n)).astype(np.float32)
+    a = a + n * np.eye(n, dtype=np.float32)
+    if zero_diag:
+        a[:, 0, 0] = 0.0  # the reference's GJ would survive this; naive LU won't
+    return a
+
+
+@pytest.mark.parametrize("n", [16, 32, 64, 128])
+def test_pallas_lu_general_with_pivoting(n):
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    a = _general_batch(5, n)
+    inv = np.asarray(pallas_lu.inverse_lu(a))
+    # ill-conditioned stress case (κ~1e3-1e4 from the zeroed diagonal):
+    # within one order of what fp32 LAPACK achieves on the same draw
+    # (measured 2-6x; explicit panel-triangular inverses vs true trsm)
+    lapack = _identity_err_inf(a, np.linalg.inv(a))
+    assert _identity_err_inf(a, inv) < max(8 * lapack, 1e-5)
+
+
+def test_pallas_lu_spd_fixture_gate(rng):
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    a = make_spd_batch(7, 128, rng).astype(np.float32)
+    inv = np.asarray(pallas_lu.inverse_lu(a))
+    assert _identity_err_inf(a, inv) < 1e-4
+
+
+def test_pallas_lu_odd_sizes_and_batch_padding():
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    # n=20 pads to 24 (pw=8); batch 11 pads to the block size
+    a = _general_batch(11, 20)
+    inv = np.asarray(pallas_lu.inverse_lu(a))
+    assert inv.shape == a.shape
+    assert _identity_err_inf(a, inv) < 1e-4
+
+
+def test_pallas_lu_permuted_rows(rng):
+    # heavily permuted structure: every column needs a non-trivial pivot
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    n = 64
+    perm = rng.permutation(n)
+    a = rng.standard_normal((4, n, n)).astype(np.float32)
+    a = a + n * np.eye(n, dtype=np.float32)[perm]
+    inv = np.asarray(pallas_lu.inverse_lu(a))
+    assert _identity_err_inf(a, inv) < 1e-4
+
+
+def test_pallas_lu_small_n_delegates():
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    a = _general_batch(6, 8, zero_diag=False)
+    inv = np.asarray(pallas_lu.inverse_lu(a))
+    assert _identity_err_inf(a, inv) < 1e-4
+
+
+def test_pallas_lu_routing(rng):
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    # f64 stays exact via the XLA path
+    a64 = make_spd_batch(3, 16, rng)
+    inv64 = np.asarray(pallas_lu.inverse_lu(a64))
+    assert inv64.dtype == np.float64
+    assert _identity_err_inf(a64, inv64) < 1e-12
+    # n > VMEM ceiling routes to XLA LU
+    a = make_spd_batch(2, 300, rng).astype(np.float32)
+    inv = np.asarray(pallas_lu.inverse_lu(a))
+    assert _identity_err_inf(a, inv) < 1e-3
+
+
+def test_pallas_lu_singular_nonfinite():
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    a = _general_batch(3, 32, zero_diag=False)
+    a[1, :, :] = 1.0  # rank-1 -> singular
+    inv = np.asarray(pallas_lu.inverse_lu(a))
+    assert not np.all(np.isfinite(inv[1]))
+    assert _identity_err_inf(a[[0, 2]], inv[[0, 2]]) < 1e-4
+
+
+def test_pallas_lu_registered():
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    fn = get_inverse_algorithm("lu_pallas")
+    a = _general_batch(4, 16)
+    assert _identity_err_inf(a, np.asarray(fn(a))) < 1e-4
