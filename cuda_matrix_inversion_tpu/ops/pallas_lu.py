@@ -28,13 +28,16 @@ Pallas launch per batch block:
   recovers LAPACK-level residuals on ill-conditioned inputs.
 
 Performance note (measured on v5e): per-column partial pivoting has a hard
-sequential-latency floor on TPU — ~0.25 µs per matrix-column regardless of
-formulation (the rank-1 Gauss-Jordan kernel hits the same floor), so this
-kernel lands ~25-40% under XLA's LU expander at 100×128×128 and ≈ the GJ
-kernel's speed, while carrying LAPACK-grade pivoting + getri structure.
-For speed, Newton-Schulz and the blocked Cholesky remain the fast paths;
-this is the robust direct path for *general* (non-SPD, ill-conditioned)
-batches.
+sequential-latency floor on TPU — roughly 0.25-0.5 µs per matrix-column
+regardless of formulation (the rank-1 Gauss-Jordan kernel hits the same
+floor, with a leaner per-column body).  Same-session A/B at 96×128×128:
+gauss_pallas ≈ 3.0 ms, lu_pallas ≈ 4.5-6 ms, XLA LU expander ≈ 5.9 ms.
+So this kernel beats XLA's expander but NOT the rank-1 GJ kernel; its
+value is the LAPACK-matching factorization semantics (getrf pivot order,
+compact LU, getri substitutions) and the documented measurement that MXU
+blocking cannot buy back the pivot-latency floor.  For speed,
+Newton-Schulz and the blocked Cholesky remain the fast paths; for general
+pivoted direct inversion, gauss_pallas is the speed pick.
 
 Mosaic constraints honored throughout: no dynamic lane-dim indexing
 (one-hot lane reductions / static panel slices), no bool 3-D vectors
@@ -57,6 +60,7 @@ from cuda_matrix_inversion_tpu.ops.pallas_common import (
     tuned_block,
 )
 from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
+    _lane_select,
     _mm,
     _triangular_inverse_body,
 )
@@ -116,8 +120,7 @@ def _panel_factor_body(pw: int, k0: int, n: int, pcopy_ref, pidx_ref,
 
         # eliminate below g; store multipliers compactly in column j
         gcol2 = jnp.sum(pcopy_ref[:, :, :] * cmask[:, None, :], axis=2)
-        pivval = jnp.sum(jnp.where(lanes_n == g, gcol2, 0.0), axis=1,
-                         keepdims=True)  # (BM, 1)
+        pivval = _lane_select(gcol2, g)  # (BM, 1)
         mult = jnp.where(lanes_n > g, gcol2 / pivval, 0.0)  # (BM, N)
         prow = pcopy_ref[:, pl.ds(g, 1), :][:, 0, :]  # (BM, pw)
         prow_right = jnp.where(lanes_pw > j, prow, 0.0)
@@ -139,9 +142,6 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
     bm, n, _ = a_ref.shape
     np_ = n // pw
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    eye = (row_i == col_i).astype(jnp.float32)
     row_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 0)
     col_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 1)
     eye_pw = (row_pw == col_pw).astype(jnp.float32)
@@ -262,8 +262,8 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
 
     Drop-in for the reference's fastest path ``inverse_lu_cuda_batched_gpu``
     (``src/gauss/inverse_gpu.cu:60-123``) — but as a native kernel rather
-    than a vendor-library call, and ~an order of magnitude faster than
-    XLA's LU expander on TPU for the reference's matrix sizes.  Works on
+    than a vendor-library call (see the module docstring for the honest
+    performance position vs the other kernels).  Works on
     any nonsingular batch (not just SPD); singular matrices yield
     non-finite outputs (checkable via ``ops.host_api``), the analog of the
     cuBLAS infoArray contract.
