@@ -281,7 +281,11 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         # pipelined in), so budget ≈ 4 MB per buffer.
         bm = tuned_block(n)
     else:
-        bm = block_batch(batch, n)
+        # naive rank-1 path (n < 64): the column loop is sequential-
+        # latency-bound, so wide batch blocks are nearly free — 32
+        # measured ~2x faster than 8 at 1600×{16,32} (VMEM is tiny at
+        # these n); beyond 32 the gain is inside timing noise
+        bm = 32
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
     if pw is None:
