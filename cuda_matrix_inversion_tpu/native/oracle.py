@@ -13,14 +13,14 @@ from typing import Optional
 import numpy as np
 
 _lib: Optional[ctypes.CDLL] = None
-_tried = False
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    if _tried:
+    # Only successful loads are cached: a stale/missing .so may be rebuilt
+    # later in the process (ensure_built), and lib_path() is a cheap stat.
+    global _lib
+    if _lib is not None:
         return _lib
-    _tried = True
     from cuda_matrix_inversion_tpu.native.build import lib_path
 
     path = lib_path()
@@ -41,9 +41,9 @@ def _load() -> Optional[ctypes.CDLL]:
             fn.restype = ctypes.c_int64
         lib.oracle_num_threads.restype = ctypes.c_int
         _lib = lib
+        return _lib
     except (OSError, AttributeError):
-        _lib = None
-    return _lib
+        return None
 
 
 def available() -> bool:
