@@ -42,20 +42,27 @@ def _residual_inf(eye, ax):
     return jnp.max(jnp.sum(jnp.abs(eye - ax), axis=-1))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "polish_iters", "tol"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "polish_iters", "tol",
+                                             "init"))
 def inverse_newton_schulz(
     a: jnp.ndarray,
     max_iters: int = 48,
     polish_iters: int = 1,
     tol: float = 1e-2,
+    init: str = "pan",
 ) -> jnp.ndarray:
     """Batched inverse via adaptive Newton-Schulz.
 
     ``tol`` is the bf16-phase exit residual; quadratic convergence plus
-    ``polish_iters`` fp32 steps take it to fp32 roundoff.  Works for any
-    nonsingular (not just SPD) matrix; singular inputs yield non-finite
-    entries, matching the LU path's behavior.
+    ``polish_iters`` fp32 steps take it to fp32 roundoff.  With the
+    default ``init="pan"`` works for any nonsingular (not just SPD)
+    matrix; singular inputs yield non-finite entries, matching the LU
+    path's behavior.  ``init="spd"`` (SPD inputs only, caller-asserted)
+    starts from X₁ = 2sI − s²A, s = 1/‖A‖∞ — about half the contraction
+    iterations (see :func:`inverse_newton_schulz_pallas`).
     """
+    if init not in ("pan", "spd"):
+        raise ValueError(f"init must be 'pan' or 'spd', got {init!r}")
     if a.dtype == jnp.float64:
         # f64 callers want exactness, not the bf16 fast path — use the
         # factorization route, which stays f64 end to end.
@@ -68,8 +75,12 @@ def inverse_newton_schulz(
     eye = jnp.eye(n, dtype=jnp.float32)
 
     r_inf = jnp.max(jnp.sum(jnp.abs(a), axis=2), axis=1)  # ‖A‖∞ per matrix
-    c_1 = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=1)    # ‖A‖₁ per matrix
-    x0 = jnp.swapaxes(a, 1, 2) / (r_inf * c_1)[:, None, None]
+    if init == "spd":
+        s = (1.0 / r_inf)[:, None, None]
+        x0 = 2.0 * s * eye - (s * s) * a  # X₁ for X₀ = sI, computed exactly
+    else:
+        c_1 = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=1)    # ‖A‖₁ per matrix
+        x0 = jnp.swapaxes(a, 1, 2) / (r_inf * c_1)[:, None, None]
 
     def step(x, prec):
         ax = jnp.matmul(a, x, precision=prec)
@@ -82,10 +93,17 @@ def inverse_newton_schulz(
         iteration's error floor is ~eps_bf16·κ(A), and past it quadratic
         error amplification would blow up (NaN for κ ≳ 1e4).  A NaN
         residual also fails the comparison, exiting the loop.
+
+        The loop state carries AX alongside X so that ``res`` is always
+        the residual of the CURRENT iterate (the A·Xₙ product each update
+        needs anyway doubles as the residual probe).  A lagged residual
+        here would make ``res == prev`` after the first step whenever the
+        start already has residual < 1 (e.g. the "spd" init, or a
+        near-identity input), falsely tripping the strict-decrease guard.
         """
 
         def cond(state):
-            i, _, res, prev = state
+            i, _, _, res, prev = state
             # Termination logic, empirically calibrated (see tests):
             # * the ∞-norm residual of I−AX_{k+1} = (I−AX_k)² may rise
             #   transiently while > 1 (‖M²‖∞ ≤ ‖M‖∞² is the only bound),
@@ -100,14 +118,15 @@ def inverse_newton_schulz(
                     & (res < cap) & making_progress)
 
         def body(state):
-            i, x, res, _ = state
-            xn, ax = step(x, prec)
-            return i + 1, xn, _residual_inf(eye, ax), res
+            i, x, ax, res, _ = state
+            xn = jnp.matmul(x, 2.0 * eye - ax, precision=prec)
+            axn = jnp.matmul(a, xn, precision=prec)
+            return i + 1, xn, axn, _residual_inf(eye, axn), res
 
         ax0 = jnp.matmul(a, x, precision=prec)
         res0 = _residual_inf(eye, ax0)
-        i, x, res, prev = jax.lax.while_loop(
-            cond, body, (0, x, res0, jnp.float32(jnp.inf)))
+        i, x, ax, res, prev = jax.lax.while_loop(
+            cond, body, (0, x, ax0, res0, jnp.float32(jnp.inf)))
         # if the last step overshot (res worse than prev), it is still the
         # best finite iterate we kept; a NaN x is replaced by the caller.
         return x, res
@@ -133,7 +152,60 @@ def inverse_newton_schulz(
 # Pallas VMEM-resident variant
 # ---------------------------------------------------------------------------
 
-def _ns_pallas_kernel(lo_iters, hi_iters, a_ref, out_ref, tmp_ref):
+def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref):
+    """Newton-Schulz iteration with A, X, tmp resident in VMEM refs.
+
+    Shared body for the standalone inversion kernel below and the fused
+    GP kernel (:mod:`.pallas_gp`): seeds X per ``init`` ("pan"/"spd", see
+    :func:`inverse_newton_schulz_pallas`), runs ``lo_iters`` one-pass bf16
+    rounds, then ``hi_iters`` mixed-precision polish rounds in residual
+    form (X ← X + X·R with only AX at HIGHEST).  On return ``x_ref``
+    holds A⁻¹.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bm, n, _ = a_ref.shape
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+           ).astype(jnp.float32)
+    eye2 = 2.0 * eye
+
+    r_inf = jnp.max(jnp.sum(jnp.abs(a_ref[:, :, :]), axis=2), axis=1)  # (BM,)
+    if init == "spd":
+        # X1 = 2sI − s²A, s = 1/‖A‖∞ (the fused-in first round)
+        s = (1.0 / r_inf)[:, None]  # (BM, 1)
+        for b in range(bm):
+            x_ref[b, :, :] = (2.0 * s[b]) * eye - (s[b] * s[b]) * a_ref[b, :, :]
+    else:
+        # X0 = Aᵀ / (‖A‖₁ ‖A‖∞) per matrix
+        c_1 = jnp.max(jnp.sum(jnp.abs(a_ref[:, :, :]), axis=1), axis=1)
+        scale = (1.0 / (r_inf * c_1))[:, None]  # (BM, 1)
+        for b in range(bm):
+            x_ref[b, :, :] = a_ref[b, :, :].T * scale[b]
+
+    lo = jax.lax.Precision.DEFAULT
+    hi = jax.lax.Precision.HIGHEST
+
+    def dot(x, y, prec):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    for _ in range(lo_iters):
+        for b in range(bm):
+            tmp_ref[b, :, :] = eye2 - dot(a_ref[b, :, :], x_ref[b, :, :], lo)
+        for b in range(bm):
+            x_ref[b, :, :] = dot(x_ref[b, :, :], tmp_ref[b, :, :], lo)
+    for _ in range(hi_iters):
+        for b in range(bm):
+            tmp_ref[b, :, :] = eye - dot(a_ref[b, :, :], x_ref[b, :, :], hi)
+        for b in range(bm):
+            x_ref[b, :, :] = (x_ref[b, :, :]
+                              + dot(x_ref[b, :, :], tmp_ref[b, :, :], lo))
+
+
+def _ns_pallas_kernel(lo_iters, hi_iters, init, a_ref, out_ref, tmp_ref):
     """Newton-Schulz with A and X resident in VMEM for every iteration.
 
     The XLA while-loop version's loop state lives in HBM, costing
@@ -143,60 +215,50 @@ def _ns_pallas_kernel(lo_iters, hi_iters, a_ref, out_ref, tmp_ref):
     adaptivity — this is the speed path for the well-conditioned batches
     the fixtures model; `inverse_newton_schulz` remains the adaptive
     general-purpose entry).
+
+    ``init="pan"``: X₀ = Aᵀ/(‖A‖₁‖A‖∞) — any nonsingular A; initial
+    spectral residual 1 − σ²ₘᵢₙ/(‖A‖₁‖A‖∞) ≈ 1 − 1/κ².
+    ``init="spd"``: X₀ = I/‖A‖∞ — SPD only, residual 1 − λₘᵢₙ/‖A‖∞ ≈
+    1 − 1/κ, so roughly HALF the contraction rounds of "pan"; the first
+    round is fused in exactly: X₁ = X₀(2I − AX₀) = 2sI − s²A is
+    elementwise for X₀ = sI (no matmuls, fp32-exact).
+
+    Polish rounds run in residual form  X ← X + X·R,  R = I − AX:  only
+    the cancellation-sensitive AX needs HIGHEST (6-pass bf16) precision;
+    the X·R correction is ~‖R‖ small, so its one-pass bf16 error
+    (2⁻⁹‖R‖) is far below the fp32 target — 7 MXU passes per polish
+    round instead of 12.
     """
-    import jax
-    import jax.numpy as jnp
-
-    bm, n, _ = a_ref.shape
-    eye2 = 2.0 * (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-                  == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-                  ).astype(jnp.float32)
-
-    # X0 = Aᵀ / (‖A‖₁ ‖A‖∞) per matrix
-    r_inf = jnp.max(jnp.sum(jnp.abs(a_ref[:, :, :]), axis=2), axis=1)  # (BM,)
-    c_1 = jnp.max(jnp.sum(jnp.abs(a_ref[:, :, :]), axis=1), axis=1)
-    scale = (1.0 / (r_inf * c_1))[:, None]  # (BM, 1)
-    for b in range(bm):
-        out_ref[b, :, :] = a_ref[b, :, :].T * scale[b]
-
-    def one_round(prec):
-        for b in range(bm):
-            ax = jax.lax.dot_general(
-                a_ref[b, :, :], out_ref[b, :, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            tmp_ref[b, :, :] = eye2 - ax
-        for b in range(bm):
-            out_ref[b, :, :] = jax.lax.dot_general(
-                out_ref[b, :, :], tmp_ref[b, :, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-
-    for _ in range(lo_iters):
-        one_round(jax.lax.Precision.DEFAULT)
-    for _ in range(hi_iters):
-        one_round(jax.lax.Precision.HIGHEST)
+    ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, out_ref, tmp_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
-                                             "interpret"))
+                                             "interpret", "init"))
 def inverse_newton_schulz_pallas(
     a: jnp.ndarray,
-    lo_iters: int = 14,
+    lo_iters: int | None = None,
     hi_iters: int = 2,
     block: int | None = None,
     interpret: bool | None = None,
+    init: str = "pan",
 ) -> jnp.ndarray:
     """VMEM-resident fixed-iteration Newton-Schulz (one Pallas launch).
 
     The fastest inversion path, measured 3.3× the adaptive XLA version at
     1600×128 (2.29 ms vs 7.59 ms — the win is eliminating the while-loop's
-    per-iteration HBM round-trips).  DOMAIN: the static 14+2 schedule
-    converges for κ(A) ≲ 30 — i.e. the diagonally-dominant batches this
-    library targets (κ ≈ 2–4 for the fixture construction).  Beyond that
-    the bf16 floor (≈ eps_bf16·κ) exceeds what two fp32 rounds can
-    recover; use :func:`inverse_newton_schulz` (adaptive) or the Cholesky
-    paths.  Falls back to the adaptive version for f64 or n > 256.
+    per-iteration HBM round-trips).
+
+    DOMAIN (default schedules, κ measured in the 2-norm):
+    * ``init="pan"`` (any nonsingular A), lo=14 hi=2: κ(A) ≲ 30.
+    * ``init="spd"`` (SPD A only — caller-asserted, like the Cholesky
+      paths), lo=8 hi=2: κ(A) ≲ 30 at ~60% of the MXU work, because the
+      SPD start X₀ = I/‖A‖∞ contracts at 1 − 1/κ instead of 1 − 1/κ²
+      and its first round fuses into elementwise setup.
+
+    Beyond that the bf16 floor (≈ eps_bf16·κ) exceeds what the fp32
+    polish can recover; use :func:`inverse_newton_schulz` (adaptive) or
+    the Cholesky paths.  Falls back to the adaptive version for f64 or
+    n > 256.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -208,8 +270,12 @@ def inverse_newton_schulz_pallas(
         pad_matrix_dim,
     )
 
+    if init not in ("pan", "spd"):
+        raise ValueError(f"init must be 'pan' or 'spd', got {init!r}")
+    if lo_iters is None:
+        lo_iters = 8 if init == "spd" else 14
     if a.dtype == jnp.float64 or a.shape[-1] > 256:
-        return inverse_newton_schulz(a)
+        return inverse_newton_schulz(a, init=init)
 
     batch = a.shape[0]
     orig_dtype = a.dtype
@@ -226,7 +292,7 @@ def inverse_newton_schulz_pallas(
     grid = a_p.shape[0] // bm
 
     out = pl.pallas_call(
-        functools.partial(_ns_pallas_kernel, lo_iters, hi_iters),
+        functools.partial(_ns_pallas_kernel, lo_iters, hi_iters, init),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],

@@ -12,6 +12,7 @@ jit-composable.  CPU algorithms take/return ndarrays (the oracle).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict
 
 _DEVICE_ALGORITHMS: Dict[str, Callable] = {}
@@ -35,6 +36,11 @@ def _populate() -> None:
     register_inverse("newton_schulz", newton_schulz.inverse_newton_schulz)
     register_inverse("newton_schulz_pallas",
                      newton_schulz.inverse_newton_schulz_pallas)
+    # SPD-only fast path (caller-asserted, like the Cholesky entries):
+    # X0 = I/‖A‖∞ halves the contraction rounds vs the Pan-Schreiber start
+    register_inverse("newton_schulz_spd_pallas",
+                     functools.partial(newton_schulz.inverse_newton_schulz_pallas,
+                                       init="spd"))
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan
 

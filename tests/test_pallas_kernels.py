@@ -125,6 +125,66 @@ def test_newton_schulz_pallas_variant(rng):
     assert _identity_err_inf(a64, inv64) < 1e-12
 
 
+@pytest.mark.parametrize("n", [8, 32, 128])
+def test_newton_schulz_spd_init(n, rng):
+    # the SPD start X0 = I/‖A‖∞ (half the contraction rounds of "pan")
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = make_spd_batch(10, n, rng).astype(np.float32)
+    inv = np.asarray(inverse_newton_schulz_pallas(a, init="spd"))
+    assert _identity_err_inf(a, inv) < 1e-4
+    inv2 = np.asarray(inverse_newton_schulz(a, init="spd"))
+    assert _identity_err_inf(a, inv2) < 1e-4
+
+
+def test_newton_schulz_spd_init_kappa30(rng):
+    # the documented domain edge of the default spd schedule (lo=8, hi=2)
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = _make_cond(6, 64, 30.0, rng).astype(np.float32)
+    inv = np.asarray(inverse_newton_schulz_pallas(a, init="spd"))
+    assert _identity_err_inf(a, inv) < 1e-4
+
+
+def test_newton_schulz_near_identity_start(rng):
+    # regression: a start whose residual is already < 1 must not trip the
+    # strict-decrease guard on its first (lagged) comparison and exit with
+    # a half-converged iterate
+    n = 16
+    a = rng.standard_normal((5, n, n)).astype(np.float32) * 0.01
+    a = (a + np.transpose(a, (0, 2, 1))) / 2 + np.eye(n, dtype=np.float32)
+    inv = np.asarray(inverse_newton_schulz(a))
+    assert _identity_err_inf(a, inv) < 1e-4
+
+
+def test_newton_schulz_init_validation(rng):
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = make_spd_batch(2, 8, rng).astype(np.float32)
+    with pytest.raises(ValueError, match="init"):
+        inverse_newton_schulz(a, init="nope")
+    with pytest.raises(ValueError, match="init"):
+        inverse_newton_schulz_pallas(a, init="nope")
+
+
+def test_registry_has_spd_newton_schulz(rng):
+    from cuda_matrix_inversion_tpu.ops.registry import (
+        get_inverse_algorithm,
+        list_inverse_algorithms,
+    )
+
+    assert "newton_schulz_spd_pallas" in list_inverse_algorithms(cpu=False)
+    fn = get_inverse_algorithm("newton_schulz_spd_pallas")
+    a = make_spd_batch(4, 16, rng).astype(np.float32)
+    assert _identity_err_inf(a, np.asarray(fn(a))) < 1e-4
+
+
 # ---------------- Blocked LU with partial pivoting ----------------
 
 def _general_batch(batch, n, rng=None, zero_diag=True):
