@@ -18,7 +18,7 @@ import numpy as np
 def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
     import jax
 
-    from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
+    from cuda_matrix_inversion_tpu.bench.timing import chained_op_samples_robust
     from cuda_matrix_inversion_tpu.ops.registry import (
         get_inverse_algorithm,
         list_inverse_algorithms,
@@ -36,9 +36,8 @@ def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
             # plain block_until_ready cannot be trusted here.  Tunnel
             # jitter can make short-chain slopes non-positive; retry with
             # longer chains and reject the candidate if still unphysical.
-            med = chained_op_seconds(fn, a_host, iters=16, trials=5) * 1e3
-            if med <= 0:
-                med = chained_op_seconds(fn, a_host, iters=64, trials=5) * 1e3
+            med = float(np.median(chained_op_samples_robust(
+                fn, a_host, iters=16, trials=5, retry_iters=64))) * 1e3
             if med <= 0:
                 continue
             # accuracy gate per algorithm

@@ -31,7 +31,10 @@ def _err_inf(a, inv):
 def config1_gauss_jordan(fixtures: str) -> dict:
     import jax
 
-    from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
+    from cuda_matrix_inversion_tpu.bench.timing import (
+        chained_op_seconds,
+        enqueue_slope_seconds,
+    )
     from cuda_matrix_inversion_tpu.io.mats import read_test_folder
     from cuda_matrix_inversion_tpu.ops import cpu_reference
     from cuda_matrix_inversion_tpu.ops.pallas_gauss_jordan import (
@@ -42,8 +45,14 @@ def config1_gauss_jordan(fixtures: str) -> dict:
     a = data["a"]
     inv = np.asarray(jax.device_get(inverse_gauss_jordan(jax.device_put(a))))
     oracle = cpu_reference.inverse_gauss_jordan(a)  # the CPU reference path
-    # tiny config: long chains so the slope rises above tunnel jitter
+    # tiny config: long chains so the slope rises above tunnel jitter;
+    # if the median still clamps to 0, fall back to the enqueue-slope
+    # method with many queued calls (no extra compiles — a longer chained
+    # retry would compile a minutes-long 256-iteration loop)
     sec = max(chained_op_seconds(inverse_gauss_jordan, a, iters=64, trials=5), 0.0)
+    if sec <= 0.0:
+        sec = max(enqueue_slope_seconds(
+            inverse_gauss_jordan, [a], n1=32, n2=128, trials=3), 0.0)
     return {
         "config": "gauss_jordan_inverse_100x8x8",
         "batch_ms": round(sec * 1e3, 4),
@@ -119,7 +128,9 @@ def config4_mixed_dim() -> dict:
 def config5_scale(fp64: bool) -> dict:
     from cuda_matrix_inversion_tpu.bench import scale_bench
 
-    out = scale_bench.run(10000, 128, "float32", "newton_schulz_pallas", None)
+    # spd variant: the 10k batch is the SPD fixture class (BASELINE.json
+    # north star), where the SPD start is ~1.4x the pan start
+    out = scale_bench.run(10000, 128, "float32", "newton_schulz_spd_pallas", None)
     result = {"config": "scale_10k_128x128", "fp32": out}
     if fp64:
         # fp64 on a CPU mesh (TPU expanders reject f64); smaller batch to

@@ -111,15 +111,12 @@ def run_bench(
             # bench/timing.py — plain block_until_ready is untrustworthy
             # through the axon tunnel). One call, num_reps slope samples
             # (compiles the timing loops exactly once).
-            from cuda_matrix_inversion_tpu.bench.timing import chained_op_samples
+            from cuda_matrix_inversion_tpu.bench.timing import (
+                chained_op_samples_robust,
+            )
 
             jfn = jax.jit(fn)
-            samples = chained_op_samples(fn, a, iters=4, trials=num_reps)
-            if float(np.median(samples)) <= 0.0:
-                # below the short-chain noise floor (tunnel slope jitter can
-                # go negative for ~0.1 ms ops) — retry with longer chains
-                # rather than reporting a meaningless 0
-                samples = chained_op_samples(fn, a, iters=32, trials=num_reps)
+            samples = chained_op_samples_robust(fn, a, iters=4, trials=num_reps)
             for sec in samples:
                 entry.timer.stats.add(max(sec, 0.0))
                 entry.timer.last_seconds = max(sec, 0.0)

@@ -76,6 +76,24 @@ def chained_op_seconds(fn, x0, iters: int = 16, trials: int = 5) -> float:
     return float(np.median(chained_op_samples(fn, x0, iters, trials)))
 
 
+def chained_op_samples_robust(
+    fn: Callable,
+    x0,
+    iters: int = 4,
+    trials: int = 5,
+    retry_iters: int = 32,
+) -> list[float]:
+    """:func:`chained_op_samples`, retried once with longer chains when the
+    median slope is non-positive (tunnel jitter can make short-chain slopes
+    negative for ~0.1 ms ops).  A still-non-positive median after the retry
+    is the caller's to handle — it means the op is below the measurement
+    floor even at ``retry_iters``."""
+    samples = chained_op_samples(fn, x0, iters, trials)
+    if float(np.median(samples)) <= 0.0:
+        samples = chained_op_samples(fn, x0, retry_iters, trials)
+    return samples
+
+
 def looped_pipeline_samples(
     fn: Callable,
     args: Sequence,

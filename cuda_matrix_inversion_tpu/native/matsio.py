@@ -59,7 +59,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.matsio_replicate.restype = None
         _lib = lib
         return _lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a loadable .so missing expected symbols (partial
+        # rebuild) must degrade to the Python parser, same as oracle.py
         return None
 
 

@@ -144,6 +144,10 @@ def inverse_newton_schulz(
     x, _ = phase(x, _HI, jnp.float32(0.0), max_iters)
 
     for _ in range(polish_iters):
+        # full-HIGHEST polish on purpose: this path is the κ ≲ 1e4
+        # robustness backstop, and the cheaper residual-form polish (see
+        # ns_vmem_iterate) carries a 2⁻⁹·κ·‖R‖ bf16 term that can exceed
+        # ‖R‖² at large κ — only the κ ≲ 30 Pallas kernel may use it.
         x, _ = step(x, _HI)
     return x.astype(orig_dtype)
 
@@ -161,6 +165,16 @@ def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref):
     rounds, then ``hi_iters`` mixed-precision polish rounds in residual
     form (X ← X + X·R with only AX at HIGHEST).  On return ``x_ref``
     holds A⁻¹.
+
+    Precision note: the residual-form polish contracts as
+    r' ≈ r² + 2⁻⁹·κ·r (the bf16 X·R product loses 2⁻⁹ relative on
+    operands of size ‖X‖‖R‖, and ‖A‖‖X‖ ≈ κ) — the κ factor is why this
+    trick is confined to these fixed-schedule kernels whose documented
+    domain is κ ≲ 30 (worst-case bound ~6e-3·r there; measured behavior
+    is far better because rounding errors accumulate RMS-wise, ~2e-5
+    final residual at κ = 30 in faithful-bf16 emulation).  The adaptive
+    :func:`inverse_newton_schulz` keeps a full-HIGHEST polish for its
+    κ ≲ 1e4 range.
     """
     import jax
     import jax.numpy as jnp
@@ -248,12 +262,16 @@ def inverse_newton_schulz_pallas(
     1600×128 (2.29 ms vs 7.59 ms — the win is eliminating the while-loop's
     per-iteration HBM round-trips).
 
-    DOMAIN (default schedules, κ measured in the 2-norm):
-    * ``init="pan"`` (any nonsingular A), lo=14 hi=2: κ(A) ≲ 30.
+    DOMAIN (default schedules, κ measured in the 2-norm on geomspace-
+    spectrum SPD test batches, validated on real-TPU bf16 — see
+    tests/test_pallas_kernels.py::test_newton_schulz_domain_edge_on_tpu):
+    * ``init="pan"`` (any nonsingular A), lo=16 hi=2: κ(A) ≲ 30
+      (measured 2e-5 at κ=30; the old lo=14 schedule only held to κ ≈ 10).
     * ``init="spd"`` (SPD A only — caller-asserted, like the Cholesky
-      paths), lo=8 hi=2: κ(A) ≲ 30 at ~60% of the MXU work, because the
-      SPD start X₀ = I/‖A‖∞ contracts at 1 − 1/κ instead of 1 − 1/κ²
-      and its first round fuses into elementwise setup.
+      paths), lo=8 hi=2: κ(A) ≲ 30 at ~50% of the MXU work (measured
+      2.4e-5 at κ=30 on chip), because the SPD start X₀ = I/‖A‖∞
+      contracts at 1 − 1/κ instead of 1 − 1/κ² and its first round fuses
+      into elementwise setup.
 
     Beyond that the bf16 floor (≈ eps_bf16·κ) exceeds what the fp32
     polish can recover; use :func:`inverse_newton_schulz` (adaptive) or
@@ -273,7 +291,7 @@ def inverse_newton_schulz_pallas(
     if init not in ("pan", "spd"):
         raise ValueError(f"init must be 'pan' or 'spd', got {init!r}")
     if lo_iters is None:
-        lo_iters = 8 if init == "spd" else 14
+        lo_iters = 8 if init == "spd" else 16
     if a.dtype == jnp.float64 or a.shape[-1] > 256:
         return inverse_newton_schulz(a, init=init)
 

@@ -116,7 +116,7 @@ def _triangular_inverse_body(n: int, lt_ref, w_ref):
     jax.lax.fori_loop(0, n, body, 0)
 
 
-_HI = jax.lax.Precision.HIGHEST  # true fp32 on the MXU (3-pass bf16)
+_HI = jax.lax.Precision.HIGHEST  # true fp32 on the MXU (~6 bf16 passes; measured ~5.4x a one-pass matmul)
 
 
 def _mm(lhs, rhs, contract=((1,), (0,))):

@@ -161,7 +161,25 @@ def test_newton_schulz_near_identity_start(rng):
     assert _identity_err_inf(a, inv) < 1e-4
 
 
-def test_newton_schulz_init_validation(rng):
+def test_newton_schulz_domain_edge_on_tpu(rng):
+    # The kappa <= 30 domain claim involves REAL one-pass-bf16 contraction
+    # and the mixed-precision polish; the CPU interpret backend runs
+    # Precision.DEFAULT at full fp32 and cannot exercise it.  This runs
+    # only when the session has a TPU (e.g. the verify recipe), never in
+    # the forced-CPU suite.
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires real bf16 MXU semantics (TPU backend)")
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = _make_cond(8, 128, 30.0, rng).astype(np.float32)
+    for init in ("pan", "spd"):
+        inv = np.asarray(jax.jit(
+            lambda x, i=init: inverse_newton_schulz_pallas(x, init=i))(a))
+        assert _identity_err_inf(a, inv) < 1e-4, init
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
         inverse_newton_schulz_pallas,
     )
