@@ -44,6 +44,10 @@ from cuda_matrix_inversion_tpu.ops.registry import (
     get_inverse_algorithm,
     list_inverse_algorithms,
 )
+from cuda_matrix_inversion_tpu.ops.host_api import (
+    inverse_batched,
+    solve_batched,
+)
 from cuda_matrix_inversion_tpu.engine import GPEngine, InversionEngine
 
 __version__ = "0.1.0"
@@ -58,6 +62,8 @@ __all__ = [
     "replicate_matrices",
     "get_inverse_algorithm",
     "list_inverse_algorithms",
+    "inverse_batched",
+    "solve_batched",
     "InversionEngine",
     "GPEngine",
     "__version__",

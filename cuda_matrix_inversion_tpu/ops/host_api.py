@@ -70,3 +70,45 @@ def inverse_batched_device(a: jnp.ndarray, algorithm: str = "lu") -> jnp.ndarray
     """Device-resident flavor: jnp array in/out, stays in HBM, composable
     under jit (analog of the ``*_batched_device`` API)."""
     return get_inverse_algorithm(algorithm)(a)
+
+
+def solve_batched(a: np.ndarray, rhs: np.ndarray, method: str = "lu",
+                  device=None) -> np.ndarray:
+    """Batched linear solve AX = RHS without materializing A⁻¹.
+
+    The host-facing flavor of the reference's ``-DGAUSS_SOLVE`` capability
+    (``spotrf_``+``spotrs_``, ``src/gauss_cpu.c:118-131``, selected by
+    ``Makefile:119-121``), generalized: ``method="cholesky"`` is the SPD
+    spotrs analog, ``method="lu"`` covers general systems (getrs), and
+    ``method="lu_cpu"``/``"cholesky_cpu"`` run the host oracle.
+    ``rhs``: (batch, n, k) or (batch, n).
+    """
+    host_a = as_batch(a)
+    host_rhs = np.asarray(rhs, dtype=host_a.dtype)
+    squeeze = host_rhs.ndim == 2
+    if squeeze:
+        host_rhs = host_rhs[..., None]
+    if method.endswith("_cpu"):
+        import scipy.linalg
+
+        out = np.empty_like(host_rhs)
+        for i in range(host_a.shape[0]):
+            if method == "cholesky_cpu":
+                cf = scipy.linalg.cho_factor(host_a[i], lower=True)
+                out[i] = scipy.linalg.cho_solve(cf, host_rhs[i])
+            else:
+                out[i] = scipy.linalg.solve(host_a[i], host_rhs[i])
+    else:
+        key = f"__solve_{method}"
+        if key not in _jit_cache:
+            from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+            solvers = {"lu": _xla.lu_solve, "cholesky": _xla.spd_solve}
+            if method not in solvers:
+                raise KeyError(
+                    f"unknown solve method {method!r}; have "
+                    f"{sorted(solvers) + ['lu_cpu', 'cholesky_cpu']}")
+            _jit_cache[key] = jax.jit(solvers[method])
+        out = np.asarray(jax.device_get(_jit_cache[key](
+            jax.device_put(host_a, device), jax.device_put(host_rhs, device))))
+    return out[..., 0] if squeeze else out

@@ -73,6 +73,14 @@ def inverse_cholesky(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(jnp.swapaxes(w, -1, -2), w, precision=_PREC)
 
 
+def lu_solve(a: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Batched general solve AX = RHS via LU, no explicit inverse — the
+    general-matrix sibling of :func:`spd_solve` (the reference only ships
+    the SPD ``spotrs_`` solve, ``src/gauss_cpu.c:118-131``; the LU solve
+    completes the capability for non-symmetric systems)."""
+    return jnp.linalg.solve(a, rhs)
+
+
 def spd_solve(a: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Batched SPD solve via Cholesky, no explicit inverse (ref
     ``spotrf_``+``spotrs_`` path, ``src/gauss_cpu.c:118-131``)."""

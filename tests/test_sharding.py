@@ -72,3 +72,13 @@ def test_pad_to_multiple(rng):
 
     same, orig = pad_to_multiple(a[:8], 8)
     assert same.shape[0] == 8 and orig == 8
+
+
+def test_sharded_spd_newton_schulz(mesh, rng):
+    # the flagship spd kernel under batch-axis sharding (8 virtual devices)
+    a = make_spd_batch(16, 16, rng).astype(np.float32)
+    out = sharded.sharded_inverse(mesh, a, algorithm="newton_schulz_spd_pallas")
+    err = np.abs(a.astype(np.float64) @ np.asarray(out, dtype=np.float64)
+                 - np.eye(16)).sum(-1).max()
+    assert err < 1e-4
+    assert len(out.sharding.device_set) == len(mesh.devices.ravel())

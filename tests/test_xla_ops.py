@@ -75,3 +75,31 @@ def test_registry_lists_core_algorithms():
     algs = list_inverse_algorithms()
     for required in ("lu", "cholesky", "lu_cpu", "cholesky_cpu", "gauss_cpu"):
         assert required in algs
+
+
+def test_solve_batched_methods(rng):
+    # the public solve API (ref GAUSS_SOLVE capability, gauss_cpu.c:118-131)
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+    from cuda_matrix_inversion_tpu.ops.host_api import solve_batched
+
+    a = make_spd_batch(6, 16, rng).astype(np.float32)
+    rhs = rng.standard_normal((6, 16, 3)).astype(np.float32)
+    ref = np.linalg.solve(a.astype(np.float64), rhs.astype(np.float64))
+    for method in ("lu", "cholesky", "lu_cpu", "cholesky_cpu"):
+        x = solve_batched(a, rhs, method=method)
+        assert x.shape == rhs.shape
+        np.testing.assert_allclose(x, ref, atol=1e-4)
+    # 2-D rhs round-trips without the trailing axis
+    x2 = solve_batched(a, rhs[..., 0], method="lu")
+    assert x2.shape == (6, 16)
+    np.testing.assert_allclose(x2, ref[..., 0], atol=1e-4)
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown solve method"):
+        solve_batched(a, rhs, method="qr")
+
+
+def test_solve_batched_exported():
+    import cuda_matrix_inversion_tpu as cmi
+
+    assert callable(cmi.solve_batched) and callable(cmi.inverse_batched)
