@@ -213,9 +213,10 @@ def gp_mean_variance_fused_ns(a, b, c, d, e, block: int | None = None,
                               interpret: bool | None = None):
     """Fused GP via VMEM Newton-Schulz — fastest path for diag-dominant K
     (κ ≲ 30); same shapes/contract as :func:`gp_mean_variance_fused`."""
-    if b.dtype == jnp.float64 or b.shape[-1] > 128:
-        # >128: 3 NS buffers + pipelined inputs exceed VMEM — use the
-        # Cholesky-fused kernel (which itself falls back past 256)
+    if b.dtype == jnp.float64 or b.shape[-1] > 224:
+        # past 224: 3 (BM,N,N) NS buffers + Mosaic's pipelined-input
+        # allocations exceed the 16 MB VMEM even at BM=8 (measured: n=256
+        # requests 25.6 MB; n=224 fits) — Cholesky-fused kernel instead
         return gp_mean_variance_fused(a, b, c, d, e)
 
     a, b, c, d, _n_orig = _pad_gp_system(a, b, c, d)

@@ -106,7 +106,7 @@ def test_gp_model_pallas_method(fixture_root):
     assert np.abs(np.asarray(var) - data["variances"]).max() < 1e-4
 
 
-@pytest.mark.parametrize("n", [16, 64])
+@pytest.mark.parametrize("n", [16, 64, 160])
 def test_fused_gp_ns_kernel(n, rng):
     from cuda_matrix_inversion_tpu.ops.pallas_gp import gp_mean_variance_fused_ns
 
