@@ -36,10 +36,15 @@ def _populate() -> None:
     register_inverse("newton_schulz", newton_schulz.inverse_newton_schulz)
     register_inverse("newton_schulz_pallas",
                      newton_schulz.inverse_newton_schulz_pallas)
-    # SPD-only fast path (caller-asserted, like the Cholesky entries):
-    # X0 = I/‖A‖∞ halves the contraction rounds vs the Pan-Schreiber start
+    # SPD-only fast paths (caller-asserted, like the Cholesky entries):
+    # X0 = I/‖A‖∞ halves the contraction rounds vs the Pan-Schreiber start.
+    # _pallas is the fixed-schedule speed path (κ ≲ 30); the adaptive one
+    # keeps the residual-monitored while_loop for unknown conditioning.
     register_inverse("newton_schulz_spd_pallas",
                      functools.partial(newton_schulz.inverse_newton_schulz_pallas,
+                                       init="spd"))
+    register_inverse("newton_schulz_spd",
+                     functools.partial(newton_schulz.inverse_newton_schulz,
                                        init="spd"))
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan

@@ -135,3 +135,36 @@ def test_sweep_cli_gauss_branch(fixture_root, tmp_path):
     assert len(rows) == 8
     names = {r.name for r in rows}
     assert names == {"means_cpu", "variances_cpu", "means_gpu", "variances_gpu"}
+
+
+def test_profile_summary_parses_device_events(rng):
+    # the nvprof-summary analog must aggregate device ops and drop host
+    # events; runs on the CPU backend (jax.profiler works there too)
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_matrix_inversion_tpu.utils.profiling import (
+        format_profile_summary,
+        profile_summary,
+    )
+
+    x = jnp.asarray(rng.standard_normal((4, 32, 32)).astype(np.float32))
+    f = jax.jit(lambda a: jnp.matmul(a, a))
+    f(x).block_until_ready()
+    rows = profile_summary(lambda: f(x).block_until_ready())
+    assert rows, "no device events captured"
+    for name, dur, calls, share in rows:
+        assert ".py" not in name and not name.startswith("$")
+        assert dur >= 0 and calls >= 1 and 0 <= share <= 1
+    text = format_profile_summary(rows)
+    assert "time_share" in text
+
+
+def test_registry_spd_adaptive_entry(rng):
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    a = make_spd_batch(3, 16, rng).astype(np.float32)
+    inv = np.asarray(get_inverse_algorithm("newton_schulz_spd")(a))
+    err = np.abs(a.astype(np.float64) @ inv - np.eye(16)).sum(-1).max()
+    assert err < 1e-4
