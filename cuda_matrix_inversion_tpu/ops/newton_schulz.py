@@ -303,9 +303,12 @@ def inverse_newton_schulz_pallas(
     if block is not None:
         bm = block
     else:
-        from cuda_matrix_inversion_tpu.ops.pallas_common import tuned_block
+        from cuda_matrix_inversion_tpu.ops.pallas_common import (
+            divisor_block,
+            tuned_block,
+        )
 
-        bm = tuned_block(n)
+        bm = divisor_block(batch, tuned_block(n))
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
 

@@ -39,6 +39,27 @@ def tuned_block(n: int, numerator: int = 5 * 2**19, max_bm: int = 24) -> int:
     return min(max_bm, max(8, bm - bm % 8))
 
 
+def divisor_block(batch: int, bm_max: int, bm_min: int = 8,
+                  max_waste: float = 0.05) -> int:
+    """Batch block ≤ ``bm_max`` that avoids material identity-padding waste.
+
+    For kernels whose batch block is an outer (non-tiled) dimension, a
+    divisor of ``batch`` eliminates padding — e.g. the 100-matrix headline
+    batch runs 5×20 instead of 5×24 (20% less MXU work).  When ``bm_max``
+    already pads by ≤ ``max_waste`` (big batches), it wins: fewer, larger
+    blocks amortize per-grid-step cost better than a smaller divisor.
+    Reductions over the block dim keep ≥ ``bm_min`` sublanes.  Falls back
+    to ``bm_max`` when batch is small or has no divisor in range (e.g.
+    prime batches).
+    """
+    pad = (-batch) % bm_max
+    if batch >= bm_min and pad / max(batch, 1) > max_waste:
+        for bm in range(min(bm_max, batch), bm_min - 1, -1):
+            if batch % bm == 0:
+                return bm
+    return bm_max
+
+
 def pad_matrix_dim(a: jnp.ndarray, multiple: int = 8):
     """Pad n up to a tile-friendly multiple with an identity block.
 

@@ -231,8 +231,11 @@ def gp_mean_variance_fused_ns(a, b, c, d, e, block: int | None = None,
         bm = block
     else:
         # ~11 (BM,N,N)-scale buffers live (K, X, tmp + double-buffered B
-        # + vectors/out) — BM=16 at n=128 is the VMEM ceiling
-        bm = tuned_block(n, numerator=2 * 2**19, max_bm=16)
+        # + vectors/out) — BM=16 at n=128 is the VMEM ceiling; prefer a
+        # batch divisor to skip identity-padding waste
+        from cuda_matrix_inversion_tpu.ops.pallas_common import divisor_block
+
+        bm = divisor_block(batch, tuned_block(n, numerator=2 * 2**19, max_bm=16))
     pad = (-batch) % bm
     if pad:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (pad, n, n))

@@ -180,6 +180,9 @@ def test_newton_schulz_domain_edge_on_tpu(rng):
         inv = np.asarray(jax.jit(
             lambda x, i=init: inverse_newton_schulz_pallas(x, init=i))(a))
         assert _identity_err_inf(a, inv) < 1e-4, init
+
+
+def test_newton_schulz_init_validation(rng):
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
         inverse_newton_schulz_pallas,
     )
@@ -300,3 +303,14 @@ def test_pallas_lu_registered():
     fn = get_inverse_algorithm("lu_pallas")
     a = _general_batch(4, 16)
     assert _identity_err_inf(a, np.asarray(fn(a))) < 1e-4
+
+
+def test_divisor_block_choices():
+    from cuda_matrix_inversion_tpu.ops.pallas_common import divisor_block
+
+    assert divisor_block(100, 24) == 20      # kills 20% padding waste
+    assert divisor_block(1600, 24) == 24     # 0.5% pad: big block wins
+    assert divisor_block(10000, 24) == 24
+    assert divisor_block(97, 24) == 24       # prime: fall back to padding
+    assert divisor_block(4, 24) == 24        # tiny batch: pad up
+    assert divisor_block(100, 16) == 10
