@@ -159,12 +159,20 @@ def inverse_newton_schulz(
 def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref):
     """Newton-Schulz iteration with A, X, tmp resident in VMEM refs.
 
-    Shared body for the standalone inversion kernel below and the fused
-    GP kernel (:mod:`.pallas_gp`): seeds X per ``init`` ("pan"/"spd", see
-    :func:`inverse_newton_schulz_pallas`), runs ``lo_iters`` one-pass bf16
-    rounds, then ``hi_iters`` mixed-precision polish rounds in residual
-    form (X ← X + X·R with only AX at HIGHEST).  On return ``x_ref``
-    holds A⁻¹.
+    Shared body for the standalone inversion kernel
+    (:func:`inverse_newton_schulz_pallas` passes it to ``pallas_call``
+    directly) and the fused GP kernel (:mod:`.pallas_gp`): seeds X per
+    ``init`` ("pan"/"spd", see :func:`inverse_newton_schulz_pallas`),
+    runs ``lo_iters`` one-pass bf16 rounds, then ``hi_iters``
+    mixed-precision polish rounds in residual form (X ← X + X·R with
+    only AX at HIGHEST).  On return ``x_ref`` holds A⁻¹.
+
+    Keeping every iterate in VMEM is the point: the XLA while-loop
+    version's loop state lives in HBM, costing ~4 matrix-sized HBM
+    transfers per iteration; here total HBM traffic is one read of A and
+    one write of X.  Iteration count is static (no adaptivity — this is
+    the speed path; :func:`inverse_newton_schulz` remains the adaptive
+    general-purpose entry).
 
     Precision note: the residual-form polish contracts as
     r' ≈ r² + 2⁻⁹·κ·r (the bf16 X·R product loses 2⁻⁹ relative on
@@ -176,9 +184,6 @@ def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref):
     :func:`inverse_newton_schulz` keeps a full-HIGHEST polish for its
     κ ≲ 1e4 range.
     """
-    import jax
-    import jax.numpy as jnp
-
     bm, n, _ = a_ref.shape
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -217,33 +222,6 @@ def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref):
         for b in range(bm):
             x_ref[b, :, :] = (x_ref[b, :, :]
                               + dot(x_ref[b, :, :], tmp_ref[b, :, :], lo))
-
-
-def _ns_pallas_kernel(lo_iters, hi_iters, init, a_ref, out_ref, tmp_ref):
-    """Newton-Schulz with A and X resident in VMEM for every iteration.
-
-    The XLA while-loop version's loop state lives in HBM, costing
-    ~4 matrix-sized HBM transfers per iteration (~0.4 ms of pure
-    bandwidth at 100×128×14 iterations); here total HBM traffic is one
-    read of A and one write of X.  Iteration count is static (no
-    adaptivity — this is the speed path for the well-conditioned batches
-    the fixtures model; `inverse_newton_schulz` remains the adaptive
-    general-purpose entry).
-
-    ``init="pan"``: X₀ = Aᵀ/(‖A‖₁‖A‖∞) — any nonsingular A; initial
-    spectral residual 1 − σ²ₘᵢₙ/(‖A‖₁‖A‖∞) ≈ 1 − 1/κ².
-    ``init="spd"``: X₀ = I/‖A‖∞ — SPD only, residual 1 − λₘᵢₙ/‖A‖∞ ≈
-    1 − 1/κ, so roughly HALF the contraction rounds of "pan"; the first
-    round is fused in exactly: X₁ = X₀(2I − AX₀) = 2sI − s²A is
-    elementwise for X₀ = sI (no matmuls, fp32-exact).
-
-    Polish rounds run in residual form  X ← X + X·R,  R = I − AX:  only
-    the cancellation-sensitive AX needs HIGHEST (6-pass bf16) precision;
-    the X·R correction is ~‖R‖ small, so its one-pass bf16 error
-    (2⁻⁹‖R‖) is far below the fp32 target — 7 MXU passes per polish
-    round instead of 12.
-    """
-    ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, out_ref, tmp_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
@@ -313,7 +291,7 @@ def inverse_newton_schulz_pallas(
     grid = a_p.shape[0] // bm
 
     out = pl.pallas_call(
-        functools.partial(_ns_pallas_kernel, lo_iters, hi_iters, init),
+        functools.partial(ns_vmem_iterate, lo_iters, hi_iters, init),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
