@@ -25,9 +25,12 @@ def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
     )
 
     # production algorithms only — gauss_blocked_pallas is experimental
-    # and its statically-unrolled pivot search compiles for minutes
+    # (statically-unrolled pivot search compiles for minutes) and the
+    # adaptive newton_schulz_spd is strictly dominated by its _pallas
+    # sibling on this SPD input (timing it costs extra multi-minute
+    # remote compiles of chained while_loop closures for nothing)
     candidates = [n for n in list_inverse_algorithms(cpu=False)
-                  if "blocked" not in n]
+                  if "blocked" not in n and n != "newton_schulz_spd"]
     best = (None, float("inf"), None)
     for name in candidates:
         try:

@@ -88,6 +88,9 @@ def solve_batched(a: np.ndarray, rhs: np.ndarray, method: str = "lu",
     squeeze = host_rhs.ndim == 2
     if squeeze:
         host_rhs = host_rhs[..., None]
+    methods = ("lu", "cholesky", "lu_cpu", "cholesky_cpu")
+    if method not in methods:
+        raise KeyError(f"unknown solve method {method!r}; have {list(methods)}")
     if method.endswith("_cpu"):
         import scipy.linalg
 
@@ -104,10 +107,6 @@ def solve_batched(a: np.ndarray, rhs: np.ndarray, method: str = "lu",
             from cuda_matrix_inversion_tpu.ops import xla as _xla
 
             solvers = {"lu": _xla.lu_solve, "cholesky": _xla.spd_solve}
-            if method not in solvers:
-                raise KeyError(
-                    f"unknown solve method {method!r}; have "
-                    f"{sorted(solvers) + ['lu_cpu', 'cholesky_cpu']}")
             _jit_cache[key] = jax.jit(solvers[method])
         out = np.asarray(jax.device_get(_jit_cache[key](
             jax.device_put(host_a, device), jax.device_put(host_rhs, device))))

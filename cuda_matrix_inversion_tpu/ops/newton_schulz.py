@@ -36,6 +36,13 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 _LO = jax.lax.Precision.DEFAULT
 
+# Default (lo_iters, hi_iters) schedules for the fixed-iteration VMEM
+# kernels — calibrated on-chip to hold the 1e-4 gate to kappa <= 30 (see
+# inverse_newton_schulz_pallas DOMAIN notes).  The fused GP kernel
+# (ops/pallas_gp.py) imports SPD_SCHEDULE, so retune in ONE place.
+SPD_SCHEDULE = (8, 2)
+PAN_SCHEDULE = (16, 2)
+
 
 def _residual_inf(eye, ax):
     """‖I − AX‖∞ max over the batch (one pass over the already-computed AX)."""
@@ -229,7 +236,7 @@ def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref):
 def inverse_newton_schulz_pallas(
     a: jnp.ndarray,
     lo_iters: int | None = None,
-    hi_iters: int = 2,
+    hi_iters: int | None = None,
     block: int | None = None,
     interpret: bool | None = None,
     init: str = "pan",
@@ -260,7 +267,6 @@ def inverse_newton_schulz_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     from cuda_matrix_inversion_tpu.ops.pallas_common import (
-        block_batch,
         default_interpret,
         pad_batch,
         pad_matrix_dim,
@@ -268,8 +274,11 @@ def inverse_newton_schulz_pallas(
 
     if init not in ("pan", "spd"):
         raise ValueError(f"init must be 'pan' or 'spd', got {init!r}")
+    schedule = SPD_SCHEDULE if init == "spd" else PAN_SCHEDULE
     if lo_iters is None:
-        lo_iters = 8 if init == "spd" else 16
+        lo_iters = schedule[0]
+    if hi_iters is None:
+        hi_iters = schedule[1]
     if a.dtype == jnp.float64 or a.shape[-1] > 256:
         return inverse_newton_schulz(a, init=init)
 

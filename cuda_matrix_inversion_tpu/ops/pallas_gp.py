@@ -247,9 +247,11 @@ def gp_mean_variance_fused_ns(a, b, c, d, e, block: int | None = None,
         e2 = jnp.concatenate([e2, jnp.zeros((pad, 1), f32)], axis=0)
     grid = b2.shape[0] // bm
 
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import SPD_SCHEDULE
+
     vec = lambda: pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
     out = pl.pallas_call(
-        functools.partial(_gp_ns_kernel, 8, 2),
+        functools.partial(_gp_ns_kernel, *SPD_SCHEDULE),
         grid=(grid,),
         in_specs=[
             vec(),

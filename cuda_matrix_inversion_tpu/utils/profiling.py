@@ -94,24 +94,31 @@ def profile_summary(thunk, logdir: Optional[str] = None, top: int = 15):
     import glob
     import gzip
     import json
+    import shutil
     import tempfile
 
+    cleanup = logdir is None
     logdir = logdir or tempfile.mkdtemp(prefix="cmi_prof_")
-    with trace(logdir):
-        thunk()
+    try:
+        with trace(logdir):
+            thunk()
 
-    durs: dict[str, tuple[float, int]] = {}
-    for path in glob.glob(
-            os.path.join(logdir, "plugins", "profile", "*", "*.trace.json.gz")):
-        with gzip.open(path) as f:
-            for e in json.load(f).get("traceEvents", []):
-                name = e.get("name", "")
-                if e.get("ph") != "X" or not name:
-                    continue
-                if any(m in name for m in _HOST_EVENT_MARKERS):
-                    continue
-                d, c = durs.get(name, (0.0, 0))
-                durs[name] = (d + float(e.get("dur", 0.0)), c + 1)
+        durs: dict[str, tuple[float, int]] = {}
+        for path in glob.glob(
+                os.path.join(logdir, "plugins", "profile", "*",
+                             "*.trace.json.gz")):
+            with gzip.open(path) as f:
+                for e in json.load(f).get("traceEvents", []):
+                    name = e.get("name", "")
+                    if e.get("ph") != "X" or not name:
+                        continue
+                    if any(m in name for m in _HOST_EVENT_MARKERS):
+                        continue
+                    d, c = durs.get(name, (0.0, 0))
+                    durs[name] = (d + float(e.get("dur", 0.0)), c + 1)
+    finally:
+        if cleanup:
+            shutil.rmtree(logdir, ignore_errors=True)
     total = sum(d for d, _ in durs.values()) or 1.0
     rows = [(name, d, c, d / total)
             for name, (d, c) in sorted(durs.items(), key=lambda kv: -kv[1][0])]
