@@ -79,11 +79,13 @@ def pad_matrix_dim(a: jnp.ndarray, multiple: int = 8):
 
 
 def pad_batch(a: jnp.ndarray, multiple: int):
-    """Pad the batch axis to a multiple (identity matrices keep every
-    kernel well-defined on the padding); returns (padded, original_size)."""
+    """Pad the batch axis to a NONZERO multiple (identity matrices keep
+    every kernel well-defined on the padding); returns (padded,
+    original_size).  An empty batch pads to one full block — a grid of 0
+    cells is invalid — and callers' ``[:0]`` un-slice returns it empty."""
     batch = a.shape[0]
     rem = batch % multiple
-    if rem == 0:
+    if rem == 0 and batch > 0:
         return a, batch
     pad = multiple - rem
     n = a.shape[-1]

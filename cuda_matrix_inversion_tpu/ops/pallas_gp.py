@@ -126,7 +126,8 @@ def gp_mean_variance_fused(a, b, c, d, e, block: int | None = None,
         bm = tuned_block(n)
     else:
         bm = block_batch(batch, n, buffers=4)
-    pad = (-batch) % bm
+    # empty batch still pads to one full block (a 0-cell grid is invalid)
+    pad = (-batch) % bm if batch else bm
     if pad:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (pad, n, n))
         b2 = jnp.concatenate([b2, eye], axis=0)
@@ -236,7 +237,8 @@ def gp_mean_variance_fused_ns(a, b, c, d, e, block: int | None = None,
         from cuda_matrix_inversion_tpu.ops.pallas_common import divisor_block
 
         bm = divisor_block(batch, tuned_block(n, numerator=2 * 2**19, max_bm=16))
-    pad = (-batch) % bm
+    # empty batch still pads to one full block (a 0-cell grid is invalid)
+    pad = (-batch) % bm if batch else bm
     if pad:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (pad, n, n))
         b2 = jnp.concatenate([b2, eye], axis=0)

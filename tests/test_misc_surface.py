@@ -77,3 +77,25 @@ def test_enqueue_slope_timer_smoke():
     x = np.ones((64, 64), dtype=np.float32)
     s = enqueue_slope_seconds(lambda v: v @ v, [x], n1=2, n2=6, trials=2)
     assert np.isfinite(s)
+
+
+def test_empty_batch_all_pallas_paths(rng):
+    # a 0-matrix batch must round-trip every device path (grid of 0 cells
+    # is invalid in Mosaic — pad_batch pads empties to one identity block)
+    import numpy as np
+
+    from cuda_matrix_inversion_tpu.ops.host_api import inverse_batched
+    from cuda_matrix_inversion_tpu.ops.pallas_gp import (
+        gp_mean_variance_fused,
+        gp_mean_variance_fused_ns,
+    )
+
+    a0 = np.zeros((0, 8, 8), np.float32)
+    for alg in ("lu", "cholesky_pallas", "newton_schulz_spd_pallas",
+                "gauss_pallas", "lu_pallas"):
+        assert inverse_batched(a0, algorithm=alg).shape == a0.shape
+    z = np.zeros((0, 8, 1), np.float32)
+    for fn in (gp_mean_variance_fused, gp_mean_variance_fused_ns):
+        m, v = fn(z, np.zeros((0, 8, 8), np.float32), z, z,
+                  np.zeros((0, 1, 1), np.float32))
+        assert m.shape == (0, 1, 1) and v.shape == (0, 1, 1)
