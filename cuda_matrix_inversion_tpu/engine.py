@@ -109,6 +109,7 @@ class InversionEngine(_BucketedEngine):
     def __init__(self, algorithm: str = "newton_schulz", **kw):
         super().__init__(**kw)
         self.algorithm = algorithm
+        self._compiled_warm: Dict[Tuple[int, int], object] = {}
 
     def _lower(self, batch_b: int, dim_b: int):
         import jax
@@ -118,6 +119,49 @@ class InversionEngine(_BucketedEngine):
         fn = get_inverse_algorithm(self.algorithm)
         spec = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), np.dtype(self.dtype))
         return jax.jit(fn).lower(spec).compile()
+
+    def _lower_warm(self, batch_b: int, dim_b: int):
+        import jax
+
+        from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+            inverse_newton_schulz_warm,
+        )
+
+        spec = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), np.dtype(self.dtype))
+        return jax.jit(inverse_newton_schulz_warm).lower(spec, spec).compile()
+
+    def inverse_warm(self, a: np.ndarray, prev_inv: np.ndarray) -> np.ndarray:
+        """Refine ``prev_inv`` (the inverse of a nearby batch) for ``a``.
+
+        The serving pattern for slowly-varying systems (per-timestep
+        sensor covariances): ~3x cheaper than a cold ``inverse`` while
+        the relative change δ satisfies δ·κ(A) ≲ 0.3 — past that, call
+        ``inverse`` again.  Shapes must match.
+        """
+        import jax
+
+        a = np.ascontiguousarray(np.asarray(a, dtype=self.dtype))
+        prev = np.ascontiguousarray(np.asarray(prev_inv, dtype=self.dtype))
+        if a.shape != prev.shape or a.ndim != 3:
+            raise ValueError(f"mismatched shapes {a.shape} vs {prev.shape}")
+        batch, n = a.shape[0], a.shape[-1]
+        if batch == 0:
+            return a.copy()
+        batch_b, dim_b = self._buckets_for(batch, n)
+        key = (batch_b, dim_b)
+        # separate cache: _compiled holds the cold executables and feeds
+        # compiled_shapes, which sorts homogeneous (batch, dim) keys
+        with self._lock:
+            exe = self._compiled_warm.get(key)
+        if exe is None:
+            exe = self._lower_warm(batch_b, dim_b)
+            with self._lock:
+                self._compiled_warm[key] = exe
+        pa = self._pad_square(a, batch_b, dim_b)
+        px = self._pad_square(prev, batch_b, dim_b)  # identity pads: X=A⁻¹
+        out = np.asarray(jax.device_get(
+            exe(jax.device_put(pa), jax.device_put(px))))
+        return np.ascontiguousarray(out[:batch, :n, :n])
 
     def inverse(self, a: np.ndarray, check: bool = False) -> np.ndarray:
         """Invert a (batch, n, n) batch; any size within the buckets."""

@@ -80,3 +80,25 @@ def test_gp_engine(rng):
     vref = e - np.transpose(a, (0, 2, 1)) @ (kinv @ a)
     np.testing.assert_allclose(mean, mref, atol=1e-4)
     np.testing.assert_allclose(var, vref, atol=1e-4)
+
+
+def test_engine_inverse_warm(rng):
+    import numpy as np
+
+    import cuda_matrix_inversion_tpu as cmi
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+
+    eng = cmi.InversionEngine()
+    a = make_spd_batch(10, 16, rng).astype(np.float32)
+    inv1 = eng.inverse(a)
+    a2 = a + 0.01 * rng.standard_normal(a.shape).astype(np.float32)
+    a2 = ((a2 + np.transpose(a2, (0, 2, 1))) / 2).astype(np.float32)
+    inv2 = eng.inverse_warm(a2, inv1)
+    err = np.abs(a2.astype(np.float64) @ inv2 - np.eye(16)).sum(-1).max()
+    assert err < 1e-4
+    # cold compiled_shapes stays homogeneous (warm cache is separate)
+    assert all(len(k) == 2 for k in eng.compiled_shapes)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mismatched"):
+        eng.inverse_warm(a2, inv1[:3])

@@ -314,3 +314,23 @@ def test_divisor_block_choices():
     assert divisor_block(97, 24) == 24       # prime: fall back to padding
     assert divisor_block(4, 24) == 24        # tiny batch: pad up
     assert divisor_block(100, 16) == 10
+
+
+def test_newton_schulz_warm_start(rng):
+    # refine a previous inverse after a small perturbation (serving path)
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+        inverse_newton_schulz_warm,
+    )
+
+    a = make_spd_batch(8, 32, rng).astype(np.float32)
+    x = np.asarray(inverse_newton_schulz_pallas(a, init="spd"))
+    a2 = a + 0.01 * rng.standard_normal(a.shape).astype(np.float32)
+    a2 = ((a2 + np.transpose(a2, (0, 2, 1))) / 2).astype(np.float32)
+    x2 = np.asarray(inverse_newton_schulz_warm(a2, x))
+    assert _identity_err_inf(a2, x2) < 1e-4
+    # odd n exercises the identity-block matrix padding of BOTH inputs
+    a3 = make_spd_batch(4, 12, rng).astype(np.float32)
+    x3 = np.asarray(inverse_newton_schulz_pallas(a3, init="spd"))
+    x3b = np.asarray(inverse_newton_schulz_warm(a3, x3))
+    assert _identity_err_inf(a3, x3b) < 1e-4
