@@ -120,6 +120,17 @@ class InversionEngine(_BucketedEngine):
         spec = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), np.dtype(self.dtype))
         return jax.jit(fn).lower(spec).compile()
 
+    def warmup_warm(self, shapes) -> None:
+        """Pre-compile the warm-start refinement path for (batch, n) shapes."""
+        for batch, n in shapes:
+            batch_b, dim_b = self._buckets_for(batch, n)
+            with self._lock:
+                have = (batch_b, dim_b) in self._compiled_warm
+            if not have:
+                exe = self._lower_warm(batch_b, dim_b)
+                with self._lock:
+                    self._compiled_warm[(batch_b, dim_b)] = exe
+
     def _lower_warm(self, batch_b: int, dim_b: int):
         import jax
 
