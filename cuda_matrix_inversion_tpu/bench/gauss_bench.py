@@ -49,6 +49,7 @@ def run_bench(
     dtype=np.float32,
     transfers: bool = False,
     stream=None,
+    cpu_oracle: str = "auto",
 ) -> BenchReporter:
     import jax
     import jax.numpy as jnp
@@ -68,8 +69,26 @@ def run_bench(
 
     # --- CPU phase (ref calcluateMean[Solve]CPU / ...Variance..., timed) ---
     if not skip_cpu:
-        mean_fn = cpu.calculate_mean_solve_cpu if method == "solve" else cpu.calculate_mean_cpu
-        var_fn = cpu.calculate_variance_solve_cpu if method == "solve" else cpu.calculate_variance_cpu
+        use_native = False
+        if cpu_oracle in ("auto", "native"):
+            from cuda_matrix_inversion_tpu.native import oracle as native_oracle
+
+            use_native = native_oracle.available()
+            if cpu_oracle == "native" and not use_native:
+                raise RuntimeError("native oracle requested but not built "
+                                   "(python -m cuda_matrix_inversion_tpu.native.build)")
+        if use_native:
+            # the C++/LAPACK/OpenMP gauss_cpu.c equivalent — one call
+            # computes both; wrap to fit the two-timer reporting split
+            solve = method == "solve"
+            mean_fn = lambda a_, b_, c_, d_: native_oracle.gp_mean_variance(  # noqa: E731
+                a_, b_, c_, d_, np.zeros(b_.shape[0], dtype=b_.dtype),
+                solve=solve)[0].reshape(-1, 1, 1)
+            var_fn = lambda a_, b_, c_, e_: native_oracle.gp_mean_variance(  # noqa: E731
+                a_, b_, c_, a_, e_, solve=solve)[1].reshape(-1, 1, 1)
+        else:
+            mean_fn = cpu.calculate_mean_solve_cpu if method == "solve" else cpu.calculate_mean_cpu
+            var_fn = cpu.calculate_variance_solve_cpu if method == "solve" else cpu.calculate_variance_cpu
         em = rep.entry("means_cpu")
         ev = rep.entry("variances_cpu")
         means = variances = None
@@ -223,6 +242,10 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--transfers", action="store_true",
                    help="time H2D+pipeline+D2H per rep (reference parity) instead of device-resident")
+    p.add_argument("--cpu-oracle", default="auto",
+                   choices=["auto", "scipy", "native"],
+                   help="CPU rows: native = C++/LAPACK/OpenMP gauss_cpu.c "
+                        "equivalent; auto = native when built, else scipy")
     args = p.parse_args(argv)
 
     from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
@@ -243,6 +266,7 @@ def main(argv=None) -> int:
         skip_cpu=args.skip_cpu,
         dtype=np.dtype(args.dtype),
         transfers=args.transfers,
+        cpu_oracle=args.cpu_oracle,
     )
     return 0
 

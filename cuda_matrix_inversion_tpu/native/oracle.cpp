@@ -34,6 +34,10 @@ void dgetri_(const int *n, double *a, const int *lda, const int *ipiv, double *w
              const int *lwork, int *info);
 void dpotrf_(const char *uplo, const int *n, double *a, const int *lda, int *info);
 void dpotri_(const char *uplo, const int *n, double *a, const int *lda, int *info);
+void spotrs_(const char *uplo, const int *n, const int *nrhs, const float *a,
+             const int *lda, float *b, const int *ldb, int *info);
+void dpotrs_(const char *uplo, const int *n, const int *nrhs, const double *a,
+             const int *lda, double *b, const int *ldb, int *info);
 }
 
 namespace {
@@ -55,6 +59,10 @@ struct Lapack<float> {
   static void potri(const char *u, const int *n, float *a, const int *lda, int *info) {
     spotri_(u, n, a, lda, info);
   }
+  static void potrs(const char *u, const int *n, const int *nrhs, const float *a,
+                    const int *lda, float *b, const int *ldb, int *info) {
+    spotrs_(u, n, nrhs, a, lda, b, ldb, info);
+  }
 };
 
 template <>
@@ -70,6 +78,10 @@ struct Lapack<double> {
   }
   static void potri(const char *u, const int *n, double *a, const int *lda, int *info) {
     dpotri_(u, n, a, lda, info);
+  }
+  static void potrs(const char *u, const int *n, const int *nrhs, const double *a,
+                    const int *lda, double *b, const int *ldb, int *info) {
+    dpotrs_(u, n, nrhs, a, lda, b, ldb, info);
   }
 };
 
@@ -126,6 +138,74 @@ int64_t inverse_chol(T *a, int64_t batch, int64_t n) {
   return first_bad;
 }
 
+// Batched GP mean/variance pipeline (ref calcluateMean[Solve]CPU /
+// calcluateVariance[Solve]CPU, src/gauss_cpu.c:23-277), with the variance
+// sign fixed to the documented formula var = e − aᵀK⁻¹a (the reference's
+// CPU path adds the quadratic term — SURVEY §2.4.1).  K = B + diag(c) is
+// symmetric, so its row-major block equals its column-major transpose and
+// LAPACK needs no layout shims.  use_solve=1 is the -DGAUSS_SOLVE potrs
+// variant; 0 inverts explicitly with potri (reference parity for both).
+template <typename T>
+int64_t gp_pipeline(const T *a, const T *b, const T *c, const T *d, const T *e,
+                    T *mean_out, T *var_out, int64_t batch, int64_t n,
+                    int use_solve) {
+  const int ni = static_cast<int>(n);
+  const char lo = 'L';
+  const int nrhs = 2;
+  int64_t first_bad = 0;
+#pragma omp parallel
+  {
+    std::vector<T> k(n * n);
+    std::vector<T> rhs(2 * n);  // col-major (n, 2): [d | a]
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t kk = 0; kk < batch; ++kk) {
+      const T *av = a + kk * n, *dv = d + kk * n, *cv = c + kk * n;
+      std::memcpy(k.data(), b + kk * n * n, sizeof(T) * n * n);
+      for (int64_t i = 0; i < n; ++i) k[i * n + i] += cv[i];
+      int info = 0;
+      Lapack<T>::potrf(&lo, &ni, k.data(), &ni, &info);
+      if (info == 0) {
+        std::memcpy(rhs.data(), dv, sizeof(T) * n);
+        std::memcpy(rhs.data() + n, av, sizeof(T) * n);
+        if (use_solve) {
+          Lapack<T>::potrs(&lo, &ni, &nrhs, k.data(), &ni, rhs.data(), &ni, &info);
+        } else {
+          Lapack<T>::potri(&lo, &ni, k.data(), &ni, &info);
+          if (info == 0) {
+            // y = K⁻¹ [d a]; potri's col-major-'L' is the upper triangle of
+            // the row-major view — read k[min]*n+[max] for the full matrix
+            std::vector<T> y(2 * n, T(0));
+            for (int64_t i = 0; i < n; ++i) {
+              T acc_d = 0, acc_a = 0;
+              for (int64_t j = 0; j < n; ++j) {
+                const T kij = (j >= i) ? k[i * n + j] : k[j * n + i];
+                acc_d += kij * rhs[j];
+                acc_a += kij * rhs[n + j];
+              }
+              y[i] = acc_d;
+              y[n + i] = acc_a;
+            }
+            std::memcpy(rhs.data(), y.data(), sizeof(T) * 2 * n);
+          }
+        }
+      }
+      if (info != 0) {
+#pragma omp critical
+        if (first_bad == 0 || kk + 1 < first_bad) first_bad = kk + 1;
+        continue;
+      }
+      T mean = 0, quad = 0;
+      for (int64_t i = 0; i < n; ++i) {
+        mean += av[i] * rhs[i];
+        quad += av[i] * rhs[n + i];
+      }
+      mean_out[kk] = mean;
+      var_out[kk] = e[kk] - quad;  // documented sign, not the ref's CPU bug
+    }
+  }
+  return first_bad;
+}
+
 }  // namespace
 
 extern "C" {
@@ -141,6 +221,17 @@ int64_t oracle_inverse_chol_f32(float *a, int64_t batch, int64_t n) {
 }
 int64_t oracle_inverse_chol_f64(double *a, int64_t batch, int64_t n) {
   return inverse_chol<double>(a, batch, n);
+}
+
+int64_t oracle_gp_f32(const float *a, const float *b, const float *c,
+                      const float *d, const float *e, float *mean_out,
+                      float *var_out, int64_t batch, int64_t n, int use_solve) {
+  return gp_pipeline<float>(a, b, c, d, e, mean_out, var_out, batch, n, use_solve);
+}
+int64_t oracle_gp_f64(const double *a, const double *b, const double *c,
+                      const double *d, const double *e, double *mean_out,
+                      double *var_out, int64_t batch, int64_t n, int use_solve) {
+  return gp_pipeline<double>(a, b, c, d, e, mean_out, var_out, batch, n, use_solve);
 }
 
 int oracle_num_threads(void) {

@@ -39,6 +39,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
             ]
             fn.restype = ctypes.c_int64
+        for name, dt in (("oracle_gp_f32", np.float32),
+                         ("oracle_gp_f64", np.float64)):
+            fn = getattr(lib, name)
+            nd = np.ctypeslib.ndpointer(dtype=dt, flags="C_CONTIGUOUS")
+            fn.argtypes = [nd, nd, nd, nd, nd, nd, nd,
+                           ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+            fn.restype = ctypes.c_int64
         lib.oracle_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -76,6 +83,36 @@ def inverse_lu(a: np.ndarray) -> np.ndarray:
 def inverse_cholesky(a: np.ndarray) -> np.ndarray:
     """Batched SPD inversion (ref ``inverse_chol_blas_omp``, ``inverse.c:100-107``)."""
     return _run("chol", a)
+
+
+def gp_mean_variance(a, b, c, d, e, solve: bool = True):
+    """Batched GP mean/variance on the native C++/LAPACK/OpenMP oracle.
+
+    The gauss_cpu.c equivalent (``calcluateMean[Solve]CPU`` /
+    ``calcluateVariance[Solve]CPU``, ``src/gauss_cpu.c:23-277``) with the
+    variance sign fixed to the documented formula.  Vectors may arrive as
+    (batch, n) or (batch, n, 1); returns (means, variances) as (batch,)
+    arrays in the input dtype (f32/f64).
+    """
+    lib = _load()
+    assert lib is not None
+    b = np.ascontiguousarray(b)
+    dt = np.float64 if b.dtype == np.float64 else np.float32
+    b = b.astype(dt, copy=False)
+    batch, n = b.shape[0], b.shape[-1]
+    flat = lambda v: np.ascontiguousarray(  # noqa: E731
+        np.asarray(v, dtype=dt).reshape(batch, -1)[:, :n])
+    av, cv, dv = flat(a), flat(c), flat(d)
+    ev = np.ascontiguousarray(np.asarray(e, dtype=dt).reshape(batch))
+    mean = np.empty(batch, dtype=dt)
+    var = np.empty(batch, dtype=dt)
+    fn = lib.oracle_gp_f64 if dt == np.float64 else lib.oracle_gp_f32
+    bad = fn(av, np.ascontiguousarray(b.reshape(-1)), cv, dv, ev, mean, var,
+             batch, n, 1 if solve else 0)
+    if bad != 0:
+        raise np.linalg.LinAlgError(
+            f"native GP pipeline failed at batch index {bad - 1} (K not SPD?)")
+    return mean, var
 
 
 def num_threads() -> int:

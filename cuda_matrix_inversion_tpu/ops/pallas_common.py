@@ -40,7 +40,7 @@ def tuned_block(n: int, numerator: int = 5 * 2**19, max_bm: int = 24) -> int:
 
 
 def divisor_block(batch: int, bm_max: int, bm_min: int = 8,
-                  max_waste: float = 0.05) -> int:
+                  max_waste: float = 0.05, multiple_of: int = 1) -> int:
     """Batch block ≤ ``bm_max`` that avoids material identity-padding waste.
 
     For kernels whose batch block is an outer (non-tiled) dimension, a
@@ -51,11 +51,19 @@ def divisor_block(batch: int, bm_max: int, bm_min: int = 8,
     Reductions over the block dim keep ≥ ``bm_min`` sublanes.  Falls back
     to ``bm_max`` when batch is small or has no divisor in range (e.g.
     prime batches).
+
+    ``multiple_of``: kernels with 2-D ``(bm, n)`` BLOCK SPECS (the fused
+    GP kernels' vector inputs) must keep bm divisible by 8 — there the
+    block dim IS the sublane dim and Mosaic rejects unaligned blocks.
+    Pure 3-D-block kernels (inversion: ``(bm, n, n)``) pass 1; bm is an
+    outer dim and any size ≥ 8 lowers.  NOTE the interpret-mode test
+    suite cannot catch a violation — it skips Mosaic lowering — so this
+    constraint is verified on real TPU (the verify recipe's CLI runs).
     """
     pad = (-batch) % bm_max
     if batch >= bm_min and pad / max(batch, 1) > max_waste:
         for bm in range(min(bm_max, batch), bm_min - 1, -1):
-            if batch % bm == 0:
+            if bm % multiple_of == 0 and batch % bm == 0:
                 return bm
     return bm_max
 

@@ -233,10 +233,12 @@ def gp_mean_variance_fused_ns(a, b, c, d, e, block: int | None = None,
     else:
         # ~11 (BM,N,N)-scale buffers live (K, X, tmp + double-buffered B
         # + vectors/out) — BM=16 at n=128 is the VMEM ceiling; prefer a
-        # batch divisor to skip identity-padding waste
+        # batch divisor to skip identity-padding waste.  multiple_of=8:
+        # the (bm, n) vector block specs put bm on the sublane dim.
         from cuda_matrix_inversion_tpu.ops.pallas_common import divisor_block
 
-        bm = divisor_block(batch, tuned_block(n, numerator=2 * 2**19, max_bm=16))
+        bm = divisor_block(batch, tuned_block(n, numerator=2 * 2**19, max_bm=16),
+                           multiple_of=8)
     # empty batch still pads to one full block (a 0-cell grid is invalid)
     pad = (-batch) % bm if batch else bm
     if pad:

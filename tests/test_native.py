@@ -97,3 +97,48 @@ def test_native_oracle_does_not_mutate_input(rng):
     a_copy = a.copy()
     oracle.inverse_lu(a)
     np.testing.assert_array_equal(a, a_copy)  # no reference-style clobbering
+
+
+@pytest.mark.parametrize("solve", [True, False])
+def test_native_gp_pipeline(solve, rng):
+    from cuda_matrix_inversion_tpu.native import oracle
+    from cuda_matrix_inversion_tpu.ops import cpu_reference as cpu
+
+    batch, n = 10, 16
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    a = rng.random((batch, n, 1)).astype(np.float32)
+    c = rng.random((batch, n, 1)).astype(np.float32)
+    d = rng.random((batch, n, 1)).astype(np.float32)
+    e = rng.random((batch, 1, 1)).astype(np.float32)
+    m, v = oracle.gp_mean_variance(a, b, c, d, e, solve=solve)
+    m_ref = cpu.calculate_mean_solve_cpu(a, b, c, d).reshape(-1)
+    v_ref = cpu.calculate_variance_solve_cpu(a, b, c, e).reshape(-1)
+    np.testing.assert_allclose(m, m_ref, atol=1e-5)
+    np.testing.assert_allclose(v, v_ref, atol=1e-5)
+
+
+def test_native_gp_singular_raises(rng):
+    from cuda_matrix_inversion_tpu.native import oracle
+
+    b = make_spd_batch(3, 8, rng).astype(np.float32)
+    b[2] = 0.0
+    z = np.zeros((3, 8, 1), np.float32)
+    with pytest.raises(np.linalg.LinAlgError, match="index 2"):
+        oracle.gp_mean_variance(z, b, z, z, np.zeros((3, 1, 1), np.float32))
+
+
+def test_gauss_bench_native_cpu_rows(fixture_root, rng):
+    import io
+    import os
+
+    from cuda_matrix_inversion_tpu.bench.gauss_bench import run_bench
+
+    out = io.StringIO()
+    run_bench(os.path.join(fixture_root, "gaussian_20_8x8"), 1, 1, csv=True,
+              cpu_oracle="native", skip_cpu=False, stream=out)
+    lines = out.getvalue().strip().splitlines()
+    # CPU rows present and their error column is fixture-tight
+    cpu_rows = [l for l in lines if "_cpu" in l]
+    assert len(cpu_rows) == 2
+    for row in cpu_rows:
+        assert float(row.split()[-1]) < 1e-4

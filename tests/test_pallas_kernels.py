@@ -314,6 +314,10 @@ def test_divisor_block_choices():
     assert divisor_block(97, 24) == 24       # prime: fall back to padding
     assert divisor_block(4, 24) == 24        # tiny batch: pad up
     assert divisor_block(100, 16) == 10
+    # kernels with (bm, n) 2-D block specs need bm on an 8-aligned sublane
+    assert divisor_block(100, 16, multiple_of=8) == 16
+    assert divisor_block(96, 16, multiple_of=8) == 16
+    assert divisor_block(120, 16, multiple_of=8) == 8
 
 
 def test_newton_schulz_warm_start(rng):
