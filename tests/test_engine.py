@@ -102,3 +102,22 @@ def test_engine_inverse_warm(rng):
 
     with _pytest.raises(ValueError, match="mismatched"):
         eng.inverse_warm(a2, inv1[:3])
+
+
+def test_engine_concurrent_requests(rng):
+    # the engine claims thread-safety for concurrent callers
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    import cuda_matrix_inversion_tpu as cmi
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+
+    eng = cmi.InversionEngine()
+    batches = [make_spd_batch(4 + i, 16, rng).astype(np.float32)
+               for i in range(8)]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(eng.inverse, batches))
+    for a, inv in zip(batches, results):
+        err = np.abs(a.astype(np.float64) @ inv - np.eye(16)).sum(-1).max()
+        assert err < 1e-4
