@@ -78,14 +78,16 @@ def run_bench(
                 raise RuntimeError("native oracle requested but not built "
                                    "(python -m cuda_matrix_inversion_tpu.native.build)")
         if use_native:
-            # the C++/LAPACK/OpenMP gauss_cpu.c equivalent — one call
-            # computes both; wrap to fit the two-timer reporting split
+            # the C++/LAPACK/OpenMP gauss_cpu.c equivalent; want= selects
+            # the reference's distinct single-output workloads so each
+            # timer row measures factorize + ONE solve, like the original
             solve = method == "solve"
             mean_fn = lambda a_, b_, c_, d_: native_oracle.gp_mean_variance(  # noqa: E731
                 a_, b_, c_, d_, np.zeros(b_.shape[0], dtype=b_.dtype),
-                solve=solve)[0].reshape(-1, 1, 1)
+                solve=solve, want="mean")[0].reshape(-1, 1, 1)
             var_fn = lambda a_, b_, c_, e_: native_oracle.gp_mean_variance(  # noqa: E731
-                a_, b_, c_, a_, e_, solve=solve)[1].reshape(-1, 1, 1)
+                a_, b_, c_, a_, e_, solve=solve,
+                want="variance")[1].reshape(-1, 1, 1)
         else:
             mean_fn = cpu.calculate_mean_solve_cpu if method == "solve" else cpu.calculate_mean_cpu
             var_fn = cpu.calculate_variance_solve_cpu if method == "solve" else cpu.calculate_variance_cpu

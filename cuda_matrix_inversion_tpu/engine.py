@@ -51,16 +51,21 @@ class _BucketedEngine:
         self._compiled: Dict[Tuple[int, int], object] = {}
         self._lock = threading.Lock()
 
-    def _get_executable(self, batch_b: int, dim_b: int):
+    def _get_or_compile(self, cache: Dict, batch_b: int, dim_b: int, lower):
+        """Check-compile-store against ``cache`` (shared by the cold and
+        warm executable caches; compile runs outside the lock)."""
         key = (batch_b, dim_b)
         with self._lock:
-            exe = self._compiled.get(key)
+            exe = cache.get(key)
         if exe is not None:
             return exe
-        exe = self._lower(batch_b, dim_b)
+        exe = lower(batch_b, dim_b)
         with self._lock:
-            self._compiled[key] = exe
+            cache[key] = exe
         return exe
+
+    def _get_executable(self, batch_b: int, dim_b: int):
+        return self._get_or_compile(self._compiled, batch_b, dim_b, self._lower)
 
     def _buckets_for(self, batch: int, n: int) -> Tuple[int, int]:
         return (_round_up(batch, self.batch_buckets),
@@ -110,6 +115,7 @@ class InversionEngine(_BucketedEngine):
         super().__init__(**kw)
         self.algorithm = algorithm
         self._compiled_warm: Dict[Tuple[int, int], object] = {}
+        self._compiled_warm_check: Dict[Tuple[int, int], object] = {}
 
     def _lower(self, batch_b: int, dim_b: int):
         import jax
@@ -124,12 +130,8 @@ class InversionEngine(_BucketedEngine):
         """Pre-compile the warm-start refinement path for (batch, n) shapes."""
         for batch, n in shapes:
             batch_b, dim_b = self._buckets_for(batch, n)
-            with self._lock:
-                have = (batch_b, dim_b) in self._compiled_warm
-            if not have:
-                exe = self._lower_warm(batch_b, dim_b)
-                with self._lock:
-                    self._compiled_warm[(batch_b, dim_b)] = exe
+            self._get_or_compile(self._compiled_warm, batch_b, dim_b,
+                                 self._lower_warm)
 
     def _lower_warm(self, batch_b: int, dim_b: int):
         import jax
@@ -141,37 +143,74 @@ class InversionEngine(_BucketedEngine):
         spec = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), np.dtype(self.dtype))
         return jax.jit(inverse_newton_schulz_warm).lower(spec, spec).compile()
 
-    def inverse_warm(self, a: np.ndarray, prev_inv: np.ndarray) -> np.ndarray:
+    def _lower_warm_check(self, batch_b: int, dim_b: int):
+        import jax
+        import jax.numpy as jnp
+
+        from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+            inverse_newton_schulz_warm,
+        )
+
+        def fn(a, x0):
+            x = inverse_newton_schulz_warm(a, x0)
+            eye = jnp.eye(dim_b, dtype=x.dtype)
+            ax = jnp.matmul(a, x, precision=jax.lax.Precision.HIGHEST)
+            return x, jnp.max(jnp.sum(jnp.abs(ax - eye), axis=-1))
+
+        spec = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), np.dtype(self.dtype))
+        return jax.jit(fn).lower(spec, spec).compile()
+
+    def inverse_warm(self, a: np.ndarray, prev_inv: np.ndarray,
+                     check: bool = False, tol: float = 1e-3) -> np.ndarray:
         """Refine ``prev_inv`` (the inverse of a nearby batch) for ``a``.
 
         The serving pattern for slowly-varying systems (per-timestep
-        sensor covariances): ~3x cheaper than a cold ``inverse`` while
+        sensor covariances): ~2x cheaper than a cold ``inverse`` while
         the relative change δ satisfies δ·κ(A) ≲ 0.3 — past that, call
         ``inverse`` again.  Shapes must match.
+
+        ``check=True`` also computes ‖AX − I‖∞ on device (one extra
+        HIGHEST matmul) and raises ``LinAlgError`` when it exceeds
+        ``tol`` — the warm refinement DIVERGES (to finite garbage, so a
+        finiteness check cannot catch it) when the batch jumped too far
+        from the one ``prev_inv`` belonged to.
         """
         import jax
 
         a = np.ascontiguousarray(np.asarray(a, dtype=self.dtype))
         prev = np.ascontiguousarray(np.asarray(prev_inv, dtype=self.dtype))
-        if a.shape != prev.shape or a.ndim != 3:
+        if a.ndim == 2:
+            a, prev = a[None], prev[None] if prev.ndim == 2 else prev
+        if a.ndim != 3 or a.shape[-1] != a.shape[-2]:
+            raise ValueError(f"expected (batch, n, n), got {a.shape}")
+        if a.shape != prev.shape:
             raise ValueError(f"mismatched shapes {a.shape} vs {prev.shape}")
         batch, n = a.shape[0], a.shape[-1]
         if batch == 0:
             return a.copy()
         batch_b, dim_b = self._buckets_for(batch, n)
-        key = (batch_b, dim_b)
-        # separate cache: _compiled holds the cold executables and feeds
+        # separate caches: _compiled holds the cold executables and feeds
         # compiled_shapes, which sorts homogeneous (batch, dim) keys
-        with self._lock:
-            exe = self._compiled_warm.get(key)
-        if exe is None:
-            exe = self._lower_warm(batch_b, dim_b)
-            with self._lock:
-                self._compiled_warm[key] = exe
+        if check:
+            exe = self._get_or_compile(self._compiled_warm_check, batch_b,
+                                       dim_b, self._lower_warm_check)
+        else:
+            exe = self._get_or_compile(self._compiled_warm, batch_b, dim_b,
+                                       self._lower_warm)
         pa = self._pad_square(a, batch_b, dim_b)
         px = self._pad_square(prev, batch_b, dim_b)  # identity pads: X=A⁻¹
-        out = np.asarray(jax.device_get(
-            exe(jax.device_put(pa), jax.device_put(px))))
+        result = exe(jax.device_put(pa), jax.device_put(px))
+        if check:
+            out, res = result
+            res = float(np.asarray(jax.device_get(res)))
+            if not res < tol:  # NaN also fails this comparison
+                raise np.linalg.LinAlgError(
+                    f"warm-start refinement diverged: ||AX - I||_inf = {res:.3e}"
+                    f" > {tol:.1e} — the batch moved too far from prev_inv's;"
+                    " recompute with inverse()")
+        else:
+            out = result
+        out = np.asarray(jax.device_get(out))
         return np.ascontiguousarray(out[:batch, :n, :n])
 
     def inverse(self, a: np.ndarray, check: bool = False) -> np.ndarray:

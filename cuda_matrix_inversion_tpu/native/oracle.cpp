@@ -145,18 +145,25 @@ int64_t inverse_chol(T *a, int64_t batch, int64_t n) {
 // symmetric, so its row-major block equals its column-major transpose and
 // LAPACK needs no layout shims.  use_solve=1 is the -DGAUSS_SOLVE potrs
 // variant; 0 inverts explicitly with potri (reference parity for both).
+// want: 0 = both outputs in one factorization with a 2-column RHS;
+//       1 = mean only (nrhs=1, rhs=d) — the calcluateMeanCPU workload;
+//       2 = variance only (nrhs=1, rhs=a) — calcluateVarianceCPU.
+// The single-output modes exist so the bench CLI's means_cpu /
+// variances_cpu rows time the SAME per-row work as the reference's two
+// distinct pipelines (factorize + ONE solve each), not a duplicated dual
+// pipeline.
 template <typename T>
 int64_t gp_pipeline(const T *a, const T *b, const T *c, const T *d, const T *e,
                     T *mean_out, T *var_out, int64_t batch, int64_t n,
-                    int use_solve) {
+                    int use_solve, int want) {
   const int ni = static_cast<int>(n);
   const char lo = 'L';
-  const int nrhs = 2;
+  const int nrhs = (want == 0) ? 2 : 1;
   int64_t first_bad = 0;
 #pragma omp parallel
   {
     std::vector<T> k(n * n);
-    std::vector<T> rhs(2 * n);  // col-major (n, 2): [d | a]
+    std::vector<T> rhs(2 * n);  // col-major (n, nrhs): [d | a], [d], or [a]
 #pragma omp for schedule(dynamic, 8)
     for (int64_t kk = 0; kk < batch; ++kk) {
       const T *av = a + kk * n, *dv = d + kk * n, *cv = c + kk * n;
@@ -165,27 +172,28 @@ int64_t gp_pipeline(const T *a, const T *b, const T *c, const T *d, const T *e,
       int info = 0;
       Lapack<T>::potrf(&lo, &ni, k.data(), &ni, &info);
       if (info == 0) {
-        std::memcpy(rhs.data(), dv, sizeof(T) * n);
-        std::memcpy(rhs.data() + n, av, sizeof(T) * n);
+        if (want != 2) std::memcpy(rhs.data(), dv, sizeof(T) * n);
+        if (want == 0) std::memcpy(rhs.data() + n, av, sizeof(T) * n);
+        if (want == 2) std::memcpy(rhs.data(), av, sizeof(T) * n);
         if (use_solve) {
           Lapack<T>::potrs(&lo, &ni, &nrhs, k.data(), &ni, rhs.data(), &ni, &info);
         } else {
           Lapack<T>::potri(&lo, &ni, k.data(), &ni, &info);
           if (info == 0) {
-            // y = K⁻¹ [d a]; potri's col-major-'L' is the upper triangle of
+            // y = K⁻¹ rhs; potri's col-major-'L' is the upper triangle of
             // the row-major view — read k[min]*n+[max] for the full matrix
             std::vector<T> y(2 * n, T(0));
             for (int64_t i = 0; i < n; ++i) {
-              T acc_d = 0, acc_a = 0;
-              for (int64_t j = 0; j < n; ++j) {
-                const T kij = (j >= i) ? k[i * n + j] : k[j * n + i];
-                acc_d += kij * rhs[j];
-                acc_a += kij * rhs[n + j];
+              for (int col = 0; col < nrhs; ++col) {
+                T acc = 0;
+                for (int64_t j = 0; j < n; ++j) {
+                  const T kij = (j >= i) ? k[i * n + j] : k[j * n + i];
+                  acc += kij * rhs[col * n + j];
+                }
+                y[col * n + i] = acc;
               }
-              y[i] = acc_d;
-              y[n + i] = acc_a;
             }
-            std::memcpy(rhs.data(), y.data(), sizeof(T) * 2 * n);
+            std::memcpy(rhs.data(), y.data(), sizeof(T) * nrhs * n);
           }
         }
       }
@@ -194,13 +202,20 @@ int64_t gp_pipeline(const T *a, const T *b, const T *c, const T *d, const T *e,
         if (first_bad == 0 || kk + 1 < first_bad) first_bad = kk + 1;
         continue;
       }
-      T mean = 0, quad = 0;
+      T dot0 = 0, dot1 = 0;
       for (int64_t i = 0; i < n; ++i) {
-        mean += av[i] * rhs[i];
-        quad += av[i] * rhs[n + i];
+        dot0 += av[i] * rhs[i];
+        if (want == 0) dot1 += av[i] * rhs[n + i];
       }
-      mean_out[kk] = mean;
-      var_out[kk] = e[kk] - quad;  // documented sign, not the ref's CPU bug
+      // documented sign var = e − aᵀK⁻¹a, not the ref's CPU bug
+      if (want == 0) {
+        mean_out[kk] = dot0;
+        var_out[kk] = e[kk] - dot1;
+      } else if (want == 1) {
+        mean_out[kk] = dot0;
+      } else {
+        var_out[kk] = e[kk] - dot0;
+      }
     }
   }
   return first_bad;
@@ -225,13 +240,17 @@ int64_t oracle_inverse_chol_f64(double *a, int64_t batch, int64_t n) {
 
 int64_t oracle_gp_f32(const float *a, const float *b, const float *c,
                       const float *d, const float *e, float *mean_out,
-                      float *var_out, int64_t batch, int64_t n, int use_solve) {
-  return gp_pipeline<float>(a, b, c, d, e, mean_out, var_out, batch, n, use_solve);
+                      float *var_out, int64_t batch, int64_t n, int use_solve,
+                      int want) {
+  return gp_pipeline<float>(a, b, c, d, e, mean_out, var_out, batch, n,
+                            use_solve, want);
 }
 int64_t oracle_gp_f64(const double *a, const double *b, const double *c,
                       const double *d, const double *e, double *mean_out,
-                      double *var_out, int64_t batch, int64_t n, int use_solve) {
-  return gp_pipeline<double>(a, b, c, d, e, mean_out, var_out, batch, n, use_solve);
+                      double *var_out, int64_t batch, int64_t n, int use_solve,
+                      int want) {
+  return gp_pipeline<double>(a, b, c, d, e, mean_out, var_out, batch, n,
+                             use_solve, want);
 }
 
 int oracle_num_threads(void) {

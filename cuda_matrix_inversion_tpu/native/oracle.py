@@ -44,7 +44,8 @@ def _load() -> Optional[ctypes.CDLL]:
             fn = getattr(lib, name)
             nd = np.ctypeslib.ndpointer(dtype=dt, flags="C_CONTIGUOUS")
             fn.argtypes = [nd, nd, nd, nd, nd, nd, nd,
-                           ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+                           ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                           ctypes.c_int]
             fn.restype = ctypes.c_int64
         lib.oracle_num_threads.restype = ctypes.c_int
         _lib = lib
@@ -85,7 +86,7 @@ def inverse_cholesky(a: np.ndarray) -> np.ndarray:
     return _run("chol", a)
 
 
-def gp_mean_variance(a, b, c, d, e, solve: bool = True):
+def gp_mean_variance(a, b, c, d, e, solve: bool = True, want: str = "both"):
     """Batched GP mean/variance on the native C++/LAPACK/OpenMP oracle.
 
     The gauss_cpu.c equivalent (``calcluateMean[Solve]CPU`` /
@@ -93,22 +94,33 @@ def gp_mean_variance(a, b, c, d, e, solve: bool = True):
     variance sign fixed to the documented formula.  Vectors may arrive as
     (batch, n) or (batch, n, 1); returns (means, variances) as (batch,)
     arrays in the input dtype (f32/f64).
+
+    ``want``: "both" computes mean AND variance off one factorization
+    (cheapest for combined callers); "mean"/"variance" run the reference's
+    distinct single-output workloads (factorize + one RHS) — the bench CLI
+    uses those so its two CPU timer rows measure what the reference's do.
+    The unwanted output array is returned untouched (zeros).
     """
+    wants = {"both": 0, "mean": 1, "variance": 2}
+    if want not in wants:
+        raise KeyError(f"want must be one of {sorted(wants)}, got {want!r}")
     lib = _load()
     assert lib is not None
     b = np.ascontiguousarray(b)
     dt = np.float64 if b.dtype == np.float64 else np.float32
     b = b.astype(dt, copy=False)
     batch, n = b.shape[0], b.shape[-1]
+    if batch == 0:
+        return np.empty(0, dtype=dt), np.empty(0, dtype=dt)
     flat = lambda v: np.ascontiguousarray(  # noqa: E731
         np.asarray(v, dtype=dt).reshape(batch, -1)[:, :n])
     av, cv, dv = flat(a), flat(c), flat(d)
     ev = np.ascontiguousarray(np.asarray(e, dtype=dt).reshape(batch))
-    mean = np.empty(batch, dtype=dt)
-    var = np.empty(batch, dtype=dt)
+    mean = np.zeros(batch, dtype=dt)
+    var = np.zeros(batch, dtype=dt)
     fn = lib.oracle_gp_f64 if dt == np.float64 else lib.oracle_gp_f32
     bad = fn(av, np.ascontiguousarray(b.reshape(-1)), cv, dv, ev, mean, var,
-             batch, n, 1 if solve else 0)
+             batch, n, 1 if solve else 0, wants[want])
     if bad != 0:
         raise np.linalg.LinAlgError(
             f"native GP pipeline failed at batch index {bad - 1} (K not SPD?)")

@@ -352,8 +352,10 @@ def inverse_newton_schulz_warm(
     measured 1.9x the cold spd schedule at 10k x 128 (5.9 vs 11.0 ms,
     where the kernel sits at its 2-read+1-write HBM streaming floor;
     the compute saving is larger at latency-bound small batches).  Falls
-    back to a cold adaptive solve for f64 / n > 256 (the warm start is
-    dropped).
+    back to a cold adaptive solve for f64 / n > 224 (the warm start is
+    dropped; measured on chip: the two pipelined inputs overflow the 16 MB
+    scoped VMEM at n = 256 even at BM = 8, n = 232 still fits — 224 keeps
+    headroom and matches the fused-GP kernel's boundary).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -366,7 +368,7 @@ def inverse_newton_schulz_warm(
         tuned_block,
     )
 
-    if a.dtype == jnp.float64 or a.shape[-1] > 256:
+    if a.dtype == jnp.float64 or a.shape[-1] > 224:
         return inverse_newton_schulz(a)
 
     batch = a.shape[0]

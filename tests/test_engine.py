@@ -96,8 +96,10 @@ def test_engine_inverse_warm(rng):
     inv2 = eng.inverse_warm(a2, inv1)
     err = np.abs(a2.astype(np.float64) @ inv2 - np.eye(16)).sum(-1).max()
     assert err < 1e-4
-    # cold compiled_shapes stays homogeneous (warm cache is separate)
-    assert all(len(k) == 2 for k in eng.compiled_shapes)
+    # the warm compile must NOT pollute the cold cache: exactly the one
+    # cold bucket is present (the warm executable lives in _compiled_warm)
+    assert eng.compiled_shapes == [(32, 16)]
+    assert list(eng._compiled_warm) == [(32, 16)]
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="mismatched"):
@@ -121,3 +123,43 @@ def test_engine_concurrent_requests(rng):
     for a, inv in zip(batches, results):
         err = np.abs(a.astype(np.float64) @ inv - np.eye(16)).sum(-1).max()
         assert err < 1e-4
+
+
+def test_engine_inverse_warm_check_divergence(rng):
+    import numpy as np
+
+    import cuda_matrix_inversion_tpu as cmi
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+
+    eng = cmi.InversionEngine()
+    a = make_spd_batch(6, 16, rng).astype(np.float32)
+    inv1 = eng.inverse(a)
+    # near batch: check passes
+    out = eng.inverse_warm(a, inv1, check=True)
+    assert np.abs(a.astype(np.float64) @ out - np.eye(16)).sum(-1).max() < 1e-4
+    # far batch (completely different matrices): refinement diverges to
+    # finite garbage — check must catch what a finiteness test cannot
+    far = make_spd_batch(6, 16, np.random.default_rng(999)).astype(np.float32)
+    far = far * 7.0 + 3.0  # push it well outside delta*kappa < 0.3
+    import pytest as _pytest
+
+    with _pytest.raises(np.linalg.LinAlgError, match="diverged"):
+        eng.inverse_warm(far, inv1, check=True)
+
+
+def test_native_gp_empty_batch():
+    import numpy as np
+
+    from cuda_matrix_inversion_tpu.native.build import ensure_built
+
+    if ensure_built() is None:
+        import pytest as _pytest
+
+        _pytest.skip("native lib not buildable")
+    from cuda_matrix_inversion_tpu.native import oracle
+
+    m, v = oracle.gp_mean_variance(
+        np.zeros((0, 8, 1), np.float32), np.zeros((0, 8, 8), np.float32),
+        np.zeros((0, 8, 1), np.float32), np.zeros((0, 8, 1), np.float32),
+        np.zeros((0, 1, 1), np.float32))
+    assert m.shape == (0,) and v.shape == (0,)

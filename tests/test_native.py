@@ -142,3 +142,24 @@ def test_gauss_bench_native_cpu_rows(fixture_root, rng):
     assert len(cpu_rows) == 2
     for row in cpu_rows:
         assert float(row.split()[-1]) < 1e-4
+
+
+@pytest.mark.parametrize("want", ["mean", "variance"])
+def test_native_gp_single_output_modes(want, rng):
+    from cuda_matrix_inversion_tpu.native import oracle
+
+    batch, n = 6, 16
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    a = rng.random((batch, n, 1)).astype(np.float32)
+    c = rng.random((batch, n, 1)).astype(np.float32)
+    d = rng.random((batch, n, 1)).astype(np.float32)
+    e = rng.random((batch, 1, 1)).astype(np.float32)
+    m_both, v_both = oracle.gp_mean_variance(a, b, c, d, e)
+    rhs = d if want == "mean" else a
+    m, v = oracle.gp_mean_variance(a, b, c, rhs, e, want=want)
+    if want == "mean":
+        np.testing.assert_allclose(m, m_both, atol=1e-6)
+    else:
+        np.testing.assert_allclose(v, v_both, atol=1e-6)
+    with pytest.raises(KeyError, match="want"):
+        oracle.gp_mean_variance(a, b, c, d, e, want="nope")
