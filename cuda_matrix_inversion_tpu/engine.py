@@ -24,7 +24,7 @@ from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
-DEFAULT_DIM_BUCKETS = (8, 16, 32, 64, 128, 256)
+DEFAULT_DIM_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 DEFAULT_BATCH_BUCKETS = (8, 32, 128, 512, 2048)
 
 

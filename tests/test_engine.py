@@ -163,3 +163,12 @@ def test_native_gp_empty_batch():
         np.zeros((0, 8, 1), np.float32), np.zeros((0, 8, 1), np.float32),
         np.zeros((0, 1, 1), np.float32))
     assert m.shape == (0,) and v.shape == (0,)
+
+
+def test_engine_512_bucket(rng):
+    # README advertises 8x8..512x512 — the engine's dim buckets cover it
+    eng = InversionEngine(algorithm="lu")
+    a = make_spd_batch(2, 300, rng).astype(np.float32)
+    out = eng.inverse(a)
+    err = np.abs(a.astype(np.float64) @ out - np.eye(300)).sum(-1).max()
+    assert err < 1e-3  # larger n, fp32
