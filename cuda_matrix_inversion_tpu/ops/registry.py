@@ -17,10 +17,27 @@ from typing import Callable, Dict
 
 _DEVICE_ALGORITHMS: Dict[str, Callable] = {}
 _CPU_ALGORITHMS: Dict[str, Callable] = {}
+# Algorithms whose device path is (or may lower to) a Pallas/Mosaic custom
+# call.  The GSPMD partitioner cannot split a Mosaic custom call across a
+# real multi-chip mesh (it replicates or errors), so the sharded wrappers
+# route these through shard_map, which runs the single-chip kernel verbatim
+# on each shard.
+_PALLAS_ALGORITHMS: set = set()
 
 
-def register_inverse(name: str, fn: Callable, cpu: bool = False) -> None:
+def register_inverse(name: str, fn: Callable, cpu: bool = False,
+                     pallas: bool = False) -> None:
     (_CPU_ALGORITHMS if cpu else _DEVICE_ALGORITHMS)[name] = fn
+    if pallas:
+        _PALLAS_ALGORITHMS.add(name)
+
+
+def is_pallas_algorithm(name: str) -> bool:
+    """True when ``name``'s device path contains a Pallas (Mosaic custom
+    call) kernel — such algorithms must be sharded via shard_map, not the
+    GSPMD partitioner (see ``parallel/sharded.py``)."""
+    _populate()
+    return name in _PALLAS_ALGORITHMS
 
 
 def _populate() -> None:
@@ -35,35 +52,39 @@ def _populate() -> None:
 
     register_inverse("newton_schulz", newton_schulz.inverse_newton_schulz)
     register_inverse("newton_schulz_pallas",
-                     newton_schulz.inverse_newton_schulz_pallas)
+                     newton_schulz.inverse_newton_schulz_pallas, pallas=True)
     # SPD-only fast paths (caller-asserted, like the Cholesky entries):
     # X0 = I/‖A‖∞ halves the contraction rounds vs the Pan-Schreiber start.
     # _pallas is the fixed-schedule speed path (κ ≲ 30); the adaptive one
     # keeps the residual-monitored while_loop for unknown conditioning.
     register_inverse("newton_schulz_spd_pallas",
                      functools.partial(newton_schulz.inverse_newton_schulz_pallas,
-                                       init="spd"))
+                                       init="spd"),
+                     pallas=True)
     register_inverse("newton_schulz_spd",
                      functools.partial(newton_schulz.inverse_newton_schulz,
                                        init="spd"))
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan
 
-        register_inverse("gauss_pallas", pallas_gauss_jordan.inverse_gauss_jordan)
+        register_inverse("gauss_pallas", pallas_gauss_jordan.inverse_gauss_jordan,
+                         pallas=True)
         register_inverse("gauss_blocked_pallas",
-                         pallas_gauss_jordan.inverse_gauss_jordan_blocked)
+                         pallas_gauss_jordan.inverse_gauss_jordan_blocked,
+                         pallas=True)
     except ImportError:
         pass
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_cholesky
 
-        register_inverse("cholesky_pallas", pallas_cholesky.inverse_cholesky)
+        register_inverse("cholesky_pallas", pallas_cholesky.inverse_cholesky,
+                         pallas=True)
     except ImportError:
         pass
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_lu
 
-        register_inverse("lu_pallas", pallas_lu.inverse_lu)
+        register_inverse("lu_pallas", pallas_lu.inverse_lu, pallas=True)
     except ImportError:
         pass
 

@@ -84,16 +84,30 @@ def bucketed_inverse(
     matrices: Sequence[np.ndarray],
     algorithm: str = "cholesky_pallas",
     buckets: Sequence[int] = DEFAULT_BUCKETS,
+    mesh=None,
 ) -> List[np.ndarray]:
     """Invert a ragged list of square matrices in one fused dispatch.
 
     This is BASELINE.json config 4 ("mixed-dimension size-bucketed
     queues (8/32/128/512) in one fused dispatch").
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — each bucket's stack is then
+    sharded over the batch axis (Pallas algorithms per-shard via
+    shard_map, see :mod:`.sharded`); buckets still dispatch back-to-back
+    without host synchronization between them.
     """
     stacks, index = pack_buckets(matrices, buckets)
     keys = tuple(sorted(stacks))
-    outs = _invert_buckets(tuple(jnp.asarray(stacks[k]) for k in keys),
-                           algorithm, keys)
+    if mesh is not None:
+        from cuda_matrix_inversion_tpu.parallel.sharded import sharded_inverse
+
+        outs = tuple(
+            sharded_inverse(mesh, jnp.asarray(stacks[k]), algorithm)
+            for k in keys
+        )
+    else:
+        outs = _invert_buckets(tuple(jnp.asarray(stacks[k]) for k in keys),
+                               algorithm, keys)
     by_bucket = dict(zip(keys, outs))
     results = []
     for b, pos, n in index:

@@ -1,19 +1,33 @@
 """Sharded batched ops: inversion and the GP pipeline over a chip mesh.
 
 New capability vs the single-GPU reference (SURVEY §2.3 row
-"multi-chip scale-out").  Strategy: annotate the batch axis with
-``NamedSharding`` and let XLA partition — each chip inverts its shard of
-matrices on ICI-local HBM; there are no cross-matrix collectives in the
-math, so SPMD partitioning is communication-free except for the initial
-scatter/final gather that ``jax.device_put``/``device_get`` own.
+"multi-chip scale-out").  Two dispatch strategies:
 
-``shard_map`` variants are also provided: they guarantee per-shard
-execution of the *exact* single-chip kernel (important once the Pallas
-kernels land, since ``pallas_call`` composes with ``shard_map`` directly).
+* **GSPMD** (``NamedSharding`` annotation + jit): XLA partitions the
+  program.  Correct for plain-XLA algorithms (LU/Cholesky expanders,
+  jnp Newton-Schulz) — the math has no cross-matrix dependence, so the
+  partitioner splits the batch communication-free.
+* **shard_map**: the single-chip function runs verbatim on each chip's
+  batch shard.  This is MANDATORY for Pallas-backed algorithms on real
+  hardware: ``pallas_call`` lowers to a Mosaic custom call, which the
+  GSPMD partitioner cannot split — on a real multi-chip mesh it would
+  replicate the whole batch per chip or fail to partition.  (On the CPU
+  test mesh the kernels run in interpret mode where they are plain HLO,
+  which is why the GSPMD path *appears* to work under the dryrun — see
+  VERDICT r1 "What's weak" #1.)
+
+``sharded_inverse`` / ``sharded_gp_mean_variance`` pick the right
+strategy automatically from the registry's Pallas marking; the explicit
+``*_shard_map`` wrappers remain for forcing per-shard execution.
+
+Batches that don't divide the mesh are padded (identity matrices for
+inversion, inert zero-vector problems for GP) and un-sliced after —
+shard_map requires the global batch to split evenly.
 """
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -27,6 +41,20 @@ def _shard(mesh, x):
     return jax.device_put(x, batch_sharding(mesh, jnp.ndim(x)))
 
 
+def _pad_to_mesh(mesh, a):
+    """Pad the batch axis with identity matrices so it divides the mesh
+    (shard_map needs even shards); returns (padded, original_size)."""
+    size = int(mesh.devices.size)
+    batch = a.shape[0]
+    rem = batch % size
+    if rem == 0 and batch > 0:
+        return a, batch
+    pad = size - rem if batch > 0 else size
+    n = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
+    return jnp.concatenate([jnp.asarray(a), eye], axis=0), batch
+
+
 @partial(jax.jit, static_argnames=("algorithm",))
 def _inverse_annotated(a, algorithm: str):
     from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
@@ -34,24 +62,49 @@ def _inverse_annotated(a, algorithm: str):
     return get_inverse_algorithm(algorithm)(a)
 
 
-def sharded_inverse(mesh, a, algorithm: str = "lu"):
-    """Invert a batch sharded over ``mesh``; returns a sharded device array.
-
-    Input may be host (it will be scattered) or already sharded.
-    """
-    a_sharded = _shard(mesh, a)
-    return _inverse_annotated(a_sharded, algorithm)
-
-
-def sharded_inverse_shard_map(mesh, a, algorithm: str = "lu"):
-    """Same, but via shard_map: the single-chip kernel runs verbatim on
-    each chip's shard (no partitioner in the loop)."""
+@functools.lru_cache(maxsize=64)
+def _inverse_shard_mapped(mesh, algorithm: str):
+    """One compiled shard_map closure per (mesh, algorithm) — building a
+    fresh closure per call would recompile every time (CLAUDE.md gotcha)."""
     from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
 
     fn = get_inverse_algorithm(algorithm)
     spec = P(BATCH_AXIS, None, None)
-    mapped = jax.shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
-    return jax.jit(mapped)(_shard(mesh, a))
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, and the per-shard math is batch-local anyway
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(spec,),
+                                 out_specs=spec, check_vma=False))
+
+
+def sharded_inverse_shard_map(mesh, a, algorithm: str = "lu"):
+    """Invert via shard_map: the single-chip kernel runs verbatim on each
+    chip's shard (no partitioner in the loop).  Pads the batch to the mesh
+    size when needed and slices the result back."""
+    padded, batch = _pad_to_mesh(mesh, a)
+    out = _inverse_shard_mapped(mesh, algorithm)(_shard(mesh, padded))
+    return out if out.shape[0] == batch else out[:batch]
+
+
+def sharded_inverse(mesh, a, algorithm: str = "lu"):
+    """Invert a batch sharded over ``mesh``; returns a sharded device array.
+
+    Input may be host (it will be scattered) or already sharded.  Pallas-
+    backed algorithms route through shard_map (GSPMD cannot partition a
+    Mosaic custom call on real hardware); plain-XLA algorithms go through
+    the partitioner.
+    """
+    from cuda_matrix_inversion_tpu.ops.registry import is_pallas_algorithm
+
+    if is_pallas_algorithm(algorithm):
+        return sharded_inverse_shard_map(mesh, a, algorithm)
+    a_sharded = _shard(mesh, a)
+    return _inverse_annotated(a_sharded, algorithm)
+
+
+# ---- GP pipeline ----
+
+#: gp_mean_variance methods whose device path contains a Pallas kernel.
+_PALLAS_GP_METHODS = frozenset({"pallas", "pallas_ns"})
 
 
 @partial(jax.jit, static_argnames=("method",))
@@ -61,19 +114,58 @@ def _gp_annotated(a, b, c, d, e, method: str):
     return gp_mean_variance(a, b, c, d, e, method=method)
 
 
-def sharded_gp_mean_variance(mesh, a, b, c, d, e, method: str = "solve"):
-    """The full GP pipeline with every operand sharded on the batch axis."""
-    args = [_shard(mesh, x) for x in (a, b, c, d, e)]
-    return _gp_annotated(*args, method=method)
-
-
-def sharded_gp_shard_map(mesh, a, b, c, d, e, method: str = "solve"):
+@functools.lru_cache(maxsize=64)
+def _gp_shard_mapped(mesh, method: str):
     from cuda_matrix_inversion_tpu.models.gp import gp_mean_variance
 
     spec3 = P(BATCH_AXIS, None, None)
     fn = partial(gp_mean_variance, method=method)
-    mapped = jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec3,) * 5, out_specs=(spec3, spec3)
-    )
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec3,) * 5, out_specs=(spec3, spec3),
+        check_vma=False,
+    ))
+
+
+def _pad_gp_to_mesh(mesh, a, b, c, d, e):
+    """Pad GP operands with inert problems (identity B, zero vectors) so
+    the batch divides the mesh."""
+    size = int(mesh.devices.size)
+    batch = b.shape[0]
+    rem = batch % size
+    if rem == 0 and batch > 0:
+        return (a, b, c, d, e), batch
+    pad = size - rem if batch > 0 else size
+    n = b.shape[-1]
+    a, b, c, d, e = (jnp.asarray(x) for x in (a, b, c, d, e))
+    zcol = jnp.zeros((pad, n, 1), a.dtype)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=b.dtype), (pad, n, n))
+    return (
+        jnp.concatenate([a, zcol], axis=0),
+        jnp.concatenate([b, eye], axis=0),
+        jnp.concatenate([c, zcol], axis=0),
+        jnp.concatenate([d, zcol], axis=0),
+        jnp.concatenate([e, jnp.zeros((pad, 1, 1), e.dtype)], axis=0),
+    ), batch
+
+
+def sharded_gp_shard_map(mesh, a, b, c, d, e, method: str = "solve"):
+    """GP pipeline via shard_map — per-shard verbatim execution (required
+    for the Pallas-fused methods on real hardware)."""
+    (a, b, c, d, e), batch = _pad_gp_to_mesh(mesh, a, b, c, d, e)
     args = [_shard(mesh, x) for x in (a, b, c, d, e)]
-    return jax.jit(mapped)(*args)
+    mean, var = _gp_shard_mapped(mesh, method)(*args)
+    if mean.shape[0] != batch:
+        mean, var = mean[:batch], var[:batch]
+    return mean, var
+
+
+def sharded_gp_mean_variance(mesh, a, b, c, d, e, method: str = "solve"):
+    """The full GP pipeline with every operand sharded on the batch axis.
+
+    Pallas-fused methods dispatch through shard_map (see module docstring);
+    XLA methods go through the GSPMD partitioner.
+    """
+    if method in _PALLAS_GP_METHODS:
+        return sharded_gp_shard_map(mesh, a, b, c, d, e, method=method)
+    args = [_shard(mesh, x) for x in (a, b, c, d, e)]
+    return _gp_annotated(*args, method=method)

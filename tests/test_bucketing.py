@@ -61,3 +61,20 @@ def test_bucketed_gp(rng):
     for (m, v), (me, ve) in zip(results, expected):
         assert abs(m - me) < 1e-4
         assert abs(v - ve) < 1e-4
+
+
+def test_bucketed_inverse_over_mesh(rng):
+    import jax
+
+    from cuda_matrix_inversion_tpu.parallel.mesh import batch_mesh
+
+    mesh = batch_mesh(len(jax.devices()))
+    sizes = [4, 8, 12, 17, 8, 20, 5, 8]
+    ms = [make_spd_batch(1, n, rng)[0].astype(np.float32) for n in sizes]
+    invs = bucketing.bucketed_inverse(
+        ms, algorithm="newton_schulz_spd_pallas", buckets=(8, 32), mesh=mesh)
+    for m, inv in zip(ms, invs):
+        n = m.shape[0]
+        assert inv.shape == (n, n)
+        err = np.abs(m.astype(np.float64) @ inv - np.eye(n)).max()
+        assert err < 1e-4
