@@ -26,6 +26,12 @@ import numpy as np
 
 DEFAULT_DIM_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 DEFAULT_BATCH_BUCKETS = (8, 32, 128, 512, 2048)
+# The warm-refinement Pallas kernels serve n <= 224 (their two pipelined
+# (BM,N,N) inputs overflow VMEM at 256 — see inverse_newton_schulz_warm).
+# Warm requests bucket against these so 129..224 stays on the warm kernel
+# instead of padding to 256 and silently degrading to a cold solve
+# (ADVICE r1 finding #1).
+WARM_DIM_BUCKETS = (8, 16, 32, 64, 128, 160, 192, 224)
 
 
 def _round_up(value: int, buckets: Sequence[int]) -> int:
@@ -70,6 +76,22 @@ class _BucketedEngine:
     def _buckets_for(self, batch: int, n: int) -> Tuple[int, int]:
         return (_round_up(batch, self.batch_buckets),
                 _round_up(n, self.dim_buckets))
+
+    def _warm_buckets_for(self, batch: int, n: int) -> Tuple[int, int]:
+        """Bucketing for warm-refinement requests: finer dim buckets up to
+        the warm kernels' n=224 VMEM ceiling; past it, fall back to the
+        regular buckets (the warm executable then runs a cold solve
+        internally — warn, since prev_inv is discarded)."""
+        if n <= WARM_DIM_BUCKETS[-1]:
+            return (_round_up(batch, self.batch_buckets),
+                    _round_up(n, WARM_DIM_BUCKETS))
+        import warnings
+
+        warnings.warn(
+            f"warm refinement serves n <= {WARM_DIM_BUCKETS[-1]}; n={n} "
+            "runs a cold adaptive solve (prev inverse discarded)",
+            stacklevel=3)
+        return self._buckets_for(batch, n)
 
     def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
         """Pre-compile for (batch, n) shapes (bucketed) before serving."""
@@ -129,7 +151,7 @@ class InversionEngine(_BucketedEngine):
     def warmup_warm(self, shapes) -> None:
         """Pre-compile the warm-start refinement path for (batch, n) shapes."""
         for batch, n in shapes:
-            batch_b, dim_b = self._buckets_for(batch, n)
+            batch_b, dim_b = self._warm_buckets_for(batch, n)
             self._get_or_compile(self._compiled_warm, batch_b, dim_b,
                                  self._lower_warm)
 
@@ -167,7 +189,9 @@ class InversionEngine(_BucketedEngine):
         The serving pattern for slowly-varying systems (per-timestep
         sensor covariances): ~2x cheaper than a cold ``inverse`` while
         the relative change δ satisfies δ·κ(A) ≲ 0.3 — past that, call
-        ``inverse`` again.  Shapes must match.
+        ``inverse`` again.  Shapes must match.  Dims bucket against
+        ``WARM_DIM_BUCKETS`` (up to 224, the warm kernel's VMEM ceiling);
+        larger n warns and runs cold.
 
         ``check=True`` also computes ‖AX − I‖∞ on device (one extra
         HIGHEST matmul) and raises ``LinAlgError`` when it exceeds
@@ -188,7 +212,7 @@ class InversionEngine(_BucketedEngine):
         batch, n = a.shape[0], a.shape[-1]
         if batch == 0:
             return a.copy()
-        batch_b, dim_b = self._buckets_for(batch, n)
+        batch_b, dim_b = self._warm_buckets_for(batch, n)
         # separate caches: _compiled holds the cold executables and feeds
         # compiled_shapes, which sorts homogeneous (batch, dim) keys
         if check:
@@ -240,11 +264,18 @@ class InversionEngine(_BucketedEngine):
 
 
 class GPEngine(_BucketedEngine):
-    """Pre-compiled GP mean/variance service (same bucketing strategy)."""
+    """Pre-compiled GP mean/variance service (same bucketing strategy).
+
+    For slowly-varying per-timestep systems (the reference's sensor
+    workload, ``README.md:41-44``), ``mean_variance_warm`` refines the
+    previous timestep's K⁻¹ instead of solving cold — the GP analog of
+    ``InversionEngine.inverse_warm``.
+    """
 
     def __init__(self, method: str = "solve", **kw):
         super().__init__(**kw)
         self.method = method
+        self._compiled_gp_warm: Dict[Tuple[int, int], object] = {}
 
     def _lower(self, batch_b: int, dim_b: int):
         import jax
@@ -282,3 +313,65 @@ class GPEngine(_BucketedEngine):
         mean, var = exe(*(jax.device_put(x) for x in (ap, bp, cp, dp, ep)))
         return (np.asarray(jax.device_get(mean))[:batch],
                 np.asarray(jax.device_get(var))[:batch])
+
+    # -- warm serving --------------------------------------------------------
+    def _lower_gp_warm(self, batch_b: int, dim_b: int):
+        import jax
+
+        from cuda_matrix_inversion_tpu.ops.pallas_gp import (
+            gp_mean_variance_fused_warm,
+        )
+
+        dt = np.dtype(self.dtype)
+        vec = jax.ShapeDtypeStruct((batch_b, dim_b, 1), dt)
+        mat = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), dt)
+        scl = jax.ShapeDtypeStruct((batch_b, 1, 1), dt)
+        return jax.jit(gp_mean_variance_fused_warm).lower(
+            vec, mat, vec, vec, scl, mat).compile()
+
+    def warmup_warm(self, shapes) -> None:
+        """Pre-compile the warm GP path for (batch, n) shapes."""
+        for batch, n in shapes:
+            batch_b, dim_b = self._warm_buckets_for(batch, n)
+            self._get_or_compile(self._compiled_gp_warm, batch_b, dim_b,
+                                 self._lower_gp_warm)
+
+    def mean_variance_warm(self, a, b, c, d, e, prev_kinv):
+        """Warm GP mean/variance: refine ``prev_kinv`` — the ``kinv``
+        returned by the previous call for a nearby batch — instead of a
+        cold solve.  Returns ``(mean, var, kinv)``; chain ``kinv`` into
+        the next timestep.  Valid while the relative drift δ of
+        K = B + diag(c) satisfies δ·κ(K) ≲ 0.3 (same domain as
+        ``InversionEngine.inverse_warm``); start the chain with a cold
+        inverse of K or a first warm call seeded with a cold K⁻¹.
+        """
+        import jax
+
+        dt = np.dtype(self.dtype)
+        a, b, c, d, e, prev_kinv = (
+            np.ascontiguousarray(np.asarray(x, dtype=dt))
+            for x in (a, b, c, d, e, prev_kinv))
+        batch, n = b.shape[0], b.shape[-1]
+        if batch == 0:
+            z = np.zeros((0, 1, 1), dt)
+            return z, z.copy(), np.zeros((0, n, n), dt)
+        if prev_kinv.shape != b.shape:
+            raise ValueError(
+                f"prev_kinv shape {prev_kinv.shape} must match b {b.shape}")
+        batch_b, dim_b = self._warm_buckets_for(batch, n)
+
+        bp = self._pad_square(b, batch_b, dim_b)
+        xp = self._pad_square(prev_kinv, batch_b, dim_b)  # identity pad: X=K⁻¹
+        ap = self._pad_vec(a, batch_b, dim_b)
+        cp = self._pad_vec(c, batch_b, dim_b)
+        dp = self._pad_vec(d, batch_b, dim_b)
+        ep = np.pad(e.reshape(batch, 1, 1), ((0, batch_b - batch), (0, 0), (0, 0)))
+
+        exe = self._get_or_compile(self._compiled_gp_warm, batch_b, dim_b,
+                                   self._lower_gp_warm)
+        mean, var, kinv = exe(*(jax.device_put(x)
+                                for x in (ap, bp, cp, dp, ep, xp)))
+        return (np.asarray(jax.device_get(mean))[:batch],
+                np.asarray(jax.device_get(var))[:batch],
+                np.ascontiguousarray(
+                    np.asarray(jax.device_get(kinv))[:batch, :n, :n]))

@@ -60,7 +60,9 @@ def available() -> bool:
 
 def _run(kind: str, a: np.ndarray) -> np.ndarray:
     lib = _load()
-    assert lib is not None
+    if lib is None:
+        raise RuntimeError("native oracle not built "
+                           "(python -m cuda_matrix_inversion_tpu.native.build)")
     a = np.ascontiguousarray(a)
     if a.dtype == np.float64:
         fn = getattr(lib, f"oracle_inverse_{kind}_f64")
@@ -105,7 +107,9 @@ def gp_mean_variance(a, b, c, d, e, solve: bool = True, want: str = "both"):
     if want not in wants:
         raise KeyError(f"want must be one of {sorted(wants)}, got {want!r}")
     lib = _load()
-    assert lib is not None
+    if lib is None:
+        raise RuntimeError("native oracle not built "
+                           "(python -m cuda_matrix_inversion_tpu.native.build)")
     b = np.ascontiguousarray(b)
     dt = np.float64 if b.dtype == np.float64 else np.float32
     b = b.astype(dt, copy=False)

@@ -166,9 +166,94 @@ def test_native_gp_empty_batch():
 
 
 def test_engine_512_bucket(rng):
-    # README advertises 8x8..512x512 — the engine's dim buckets cover it
+    # README advertises 8x8..512x512 — the engine's dim buckets cover it.
+    # The general-matrix lu route carries the documented ~1e-3 fp32
+    # residual at this n (README "Dimension range"); the SPD entries hold
+    # 1e-4 via the Schur recursion (tests/test_schur.py).
     eng = InversionEngine(algorithm="lu")
     a = make_spd_batch(2, 300, rng).astype(np.float32)
     out = eng.inverse(a)
     err = np.abs(a.astype(np.float64) @ out - np.eye(300)).sum(-1).max()
     assert err < 1e-3  # larger n, fp32
+
+
+def test_engine_warm_dim_buckets(rng):
+    # n in 129..224 must stay on the warm kernel (ADVICE r1 #1): it
+    # buckets to a WARM_DIM_BUCKETS entry <= 224, not to 256
+    from cuda_matrix_inversion_tpu.engine import WARM_DIM_BUCKETS
+
+    eng = InversionEngine()
+    assert eng._warm_buckets_for(10, 150) == (32, 160)
+    assert eng._warm_buckets_for(10, 224) == (32, 224)
+    assert eng._warm_buckets_for(10, 128) == (32, 128)
+    assert WARM_DIM_BUCKETS[-1] == 224
+    # past the warm kernel's ceiling: falls back to the regular buckets
+    # (cold solve inside) and warns that prev_inv is discarded
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert eng._warm_buckets_for(10, 300) == (32, 512)
+    assert any("cold adaptive solve" in str(x.message) for x in w)
+
+
+def test_engine_inverse_warm_160_bucket(rng):
+    # a 140-dim warm request actually refines (served by the 160 bucket)
+    eng = InversionEngine()
+    a = make_spd_batch(4, 140, rng).astype(np.float32)
+    inv1 = eng.inverse(a)
+    a2 = a + 0.005 * rng.standard_normal(a.shape).astype(np.float32)
+    a2 = ((a2 + np.transpose(a2, (0, 2, 1))) / 2).astype(np.float32)
+    inv2 = eng.inverse_warm(a2, inv1)
+    err = np.abs(a2.astype(np.float64) @ inv2 - np.eye(140)).sum(-1).max()
+    assert err < 1e-4
+    assert list(eng._compiled_warm) == [(8, 160)]
+
+
+def test_gp_engine_warm(rng):
+    import cuda_matrix_inversion_tpu as cmi
+
+    n, batch = 16, 6
+    eng = cmi.GPEngine()
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    a = rng.random((batch, n, 1), dtype=np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32)
+    d = rng.random((batch, n, 1), dtype=np.float32)
+    e = rng.random((batch, 1, 1), dtype=np.float32)
+
+    # seed the chain with a cold K^-1
+    k = b.astype(np.float64) + np.eye(n) * c[:, :, 0][:, None, :]
+    kinv0 = np.linalg.inv(k).astype(np.float32)
+
+    # drift the system slightly (the per-timestep serving pattern)
+    b2 = b + 0.003 * rng.standard_normal(b.shape).astype(np.float32)
+    b2 = ((b2 + np.transpose(b2, (0, 2, 1))) / 2).astype(np.float32)
+
+    mean, var, kinv = eng.mean_variance_warm(a, b2, c, d, e, kinv0)
+
+    k2 = b2.astype(np.float64) + np.eye(n) * c[:, :, 0][:, None, :]
+    kinv_ref = np.linalg.inv(k2)
+    mref = np.transpose(a, (0, 2, 1)) @ (kinv_ref @ d)
+    vref = e - np.transpose(a, (0, 2, 1)) @ (kinv_ref @ a)
+    np.testing.assert_allclose(mean, mref, atol=1e-4)
+    np.testing.assert_allclose(var, vref, atol=1e-4)
+    # the returned kinv is chainable: it passes the inverse gate for K2
+    gate = np.abs(k2 @ kinv.astype(np.float64) - np.eye(n)).max()
+    assert gate < 1e-4
+    assert kinv.shape == (batch, n, n)
+
+    # chain a second timestep off the refined inverse
+    b3 = b2 + 0.003 * rng.standard_normal(b.shape).astype(np.float32)
+    b3 = ((b3 + np.transpose(b3, (0, 2, 1))) / 2).astype(np.float32)
+    mean3, var3, kinv3 = eng.mean_variance_warm(a, b3, c, d, e, kinv)
+    k3 = b3.astype(np.float64) + np.eye(n) * c[:, :, 0][:, None, :]
+    kinv3_ref = np.linalg.inv(k3)
+    np.testing.assert_allclose(
+        mean3, np.transpose(a, (0, 2, 1)) @ (kinv3_ref @ d), atol=1e-4)
+
+    with pytest.raises(ValueError, match="prev_kinv"):
+        eng.mean_variance_warm(a, b3, c, d, e, kinv[:2])
+
+    # empty batch round-trips
+    z = eng.mean_variance_warm(a[:0], b3[:0], c[:0], d[:0], e[:0], kinv[:0])
+    assert z[0].shape == (0, 1, 1) and z[2].shape == (0, n, n)
