@@ -14,6 +14,18 @@ def default_interpret(interpret: bool | None) -> bool:
     return jax.default_backend() != "tpu"
 
 
+def padded_matrix_bytes(n: int, itemsize: int = 4) -> int:
+    """VMEM bytes one (n, n) tile actually occupies: the sublane dim pads
+    to a multiple of 8, the LANE dim to a multiple of 128 — at n = 136 a
+    matrix costs 136×256 slots, 1.88× its nominal size.  Block-size
+    budgets MUST use this, not n², or any n in (128k, 128k+128) OOMs
+    scoped VMEM on real hardware (found the hard way at n=136, BM=24:
+    17.95 MB requested vs the 16 MB limit)."""
+    n_sub = -(-n // 8) * 8
+    n_lane = -(-n // 128) * 128
+    return n_sub * n_lane * itemsize
+
+
 def block_batch(batch: int, n: int, vmem_budget_bytes: int = 10 * 2**20,
                 buffers: int = 5) -> int:
     """Matrices per grid cell for the simple (rank-1) kernels.
@@ -25,7 +37,7 @@ def block_batch(batch: int, n: int, vmem_budget_bytes: int = 10 * 2**20,
     is accepted for signature stability but does not reduce the block.
     """
     del batch
-    per_matrix = n * n * 4 * buffers
+    per_matrix = padded_matrix_bytes(n) * buffers
     bm = max(1, min(8, vmem_budget_bytes // max(per_matrix, 1)))
     return int(max(bm, 8)) if per_matrix * 8 <= vmem_budget_bytes else int(bm)
 
@@ -34,8 +46,10 @@ def tuned_block(n: int, numerator: int = 5 * 2**19, max_bm: int = 24) -> int:
     """Batch block for the MXU-blocked kernels: big blocks amortize the
     sequential per-panel small loops (measured optimum 24 at n=128 for
     ~5 live (BM,N,N) buffers).  ``numerator`` ≈ VMEM budget per buffer;
-    lower it (and ``max_bm``) for kernels with more live buffers."""
-    bm = numerator // (n * n * 4)
+    lower it (and ``max_bm``) for kernels with more live buffers.
+    Budgets against the tile-PADDED matrix size (see
+    :func:`padded_matrix_bytes`)."""
+    bm = numerator // padded_matrix_bytes(n)
     return min(max_bm, max(8, bm - bm % 8))
 
 
