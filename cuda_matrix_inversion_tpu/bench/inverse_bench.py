@@ -42,10 +42,15 @@ from cuda_matrix_inversion_tpu.io.replicate import replicate_matrices
 
 # Default algorithm roster — the analog of the six-way comparison in
 # ``inverse_bench.c:84-89``. CPU rows are the LAPACK oracle; device rows
-# run on TPU.
+# run on TPU.  The native rows are the multithreaded-CPU parity rows
+# (``lu_blas_omp_cpu`` analog, ``inverse_bench.c:84-89`` /
+# ``inverse.c:71-86``); they are skipped silently when the C++ oracle
+# isn't built (registry leaves them unregistered).
 DEFAULT_ALGORITHMS = (
     "lu_cpu",
     "cholesky_cpu",
+    "lu_native_cpu",
+    "cholesky_native_cpu",
     "lu",
     "cholesky",
     "gauss_pallas",

@@ -133,6 +133,59 @@ def format_profile_summary(rows) -> str:
     return "\n".join(lines)
 
 
+def timeline(thunk, logdir: Optional[str] = None, max_events: int = 200):
+    """Run ``thunk`` under a device trace and return the chronological
+    per-launch timeline — the analog of the reference's per-launch nvprof
+    dump (``gpu_trace_gauss.txt:3-25``, which exposed its per-column
+    iamax→D2H→scal→transform launch storm).  Rows:
+    ``(start_us, dur_us, name)`` relative to the first device event.
+
+    ``logdir=None`` uses a temp dir; pass a real dir to ALSO keep the
+    raw Perfetto ``*.trace.json.gz`` for interactive inspection
+    (load in Perfetto/TensorBoard-profile).
+    """
+    import glob
+    import gzip
+    import json
+    import shutil
+    import tempfile
+
+    cleanup = logdir is None
+    logdir = logdir or tempfile.mkdtemp(prefix="cmi_prof_")
+    events = []
+    try:
+        with trace(logdir):
+            thunk()
+        for path in glob.glob(
+                os.path.join(logdir, "plugins", "profile", "*",
+                             "*.trace.json.gz")):
+            with gzip.open(path) as f:
+                for e in json.load(f).get("traceEvents", []):
+                    name = e.get("name", "")
+                    if e.get("ph") != "X" or not name:
+                        continue
+                    if any(m in name for m in _HOST_EVENT_MARKERS):
+                        continue
+                    events.append((float(e.get("ts", 0.0)),
+                                   float(e.get("dur", 0.0)), name))
+    finally:
+        if cleanup:
+            shutil.rmtree(logdir, ignore_errors=True)
+    events.sort()
+    if not events:
+        return []
+    t0 = events[0][0]
+    return [(ts - t0, dur, name) for ts, dur, name in events[:max_events]]
+
+
+def format_timeline(rows) -> str:
+    """Render :func:`timeline` rows gpu_trace-style."""
+    lines = [f"{'start_us':>12} {'dur_us':>10}  name"]
+    for ts, dur, name in rows:
+        lines.append(f"{ts:>12.2f} {dur:>10.2f}  {name}")
+    return "\n".join(lines)
+
+
 def _main(argv=None) -> int:
     """CLI: profile the flagship paths and print nvprof-style summaries.
 
@@ -144,6 +197,10 @@ def _main(argv=None) -> int:
 
     p = argparse.ArgumentParser(description="device profile summary (nvprof analog)")
     p.add_argument("--out", default=None, help="write the summary here")
+    p.add_argument("--timeline-out", default=None,
+                   help="also write a per-launch timeline (gpu_trace analog)")
+    p.add_argument("--trace-dir", default=None,
+                   help="keep the raw Perfetto trace under this directory")
     p.add_argument("--batch", type=int, default=100)
     p.add_argument("--n", type=int, default=128)
     args = p.parse_args(argv)
@@ -169,20 +226,31 @@ def _main(argv=None) -> int:
     jax.block_until_ready(gp_fn(*gp_args))
 
     out_lines = []
-    for title, thunk in (
+    tl_lines = []
+    for i, (title, thunk) in enumerate((
         (f"batched inversion newton_schulz_spd_pallas {args.batch}x{args.n}x{args.n}",
          lambda: inv_fn(bd).block_until_ready()),
         (f"fused GP mean/variance pallas_ns {args.batch}x{args.n}",
          lambda: jax.block_until_ready(gp_fn(*gp_args))),
-    ):
+    )):
         rows = profile_summary(thunk)
         out_lines.append(f"== {title} ==")
         out_lines.append(format_profile_summary(rows))
         out_lines.append("")
+        if args.timeline_out or args.trace_dir:
+            tdir = (os.path.join(args.trace_dir, f"run{i}")
+                    if args.trace_dir else None)
+            trows = timeline(thunk, logdir=tdir)
+            tl_lines.append(f"== {title} ==")
+            tl_lines.append(format_timeline(trows))
+            tl_lines.append("")
     text = "\n".join(out_lines)
     if args.out:
         with open(args.out, "w") as f:
             f.write(text)
+    if args.timeline_out:
+        with open(args.timeline_out, "w") as f:
+            f.write("\n".join(tl_lines))
     print(text)
     return 0
 
