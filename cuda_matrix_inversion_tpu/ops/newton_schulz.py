@@ -167,7 +167,8 @@ def inverse_newton_schulz(
 # ---------------------------------------------------------------------------
 
 def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref,
-                    mid_split: bool = False):
+                    mid_split: bool = False, polish_highest: bool = True,
+                    mu_min: float | None = None):
     """Newton-Schulz iteration with A, X, tmp resident in VMEM refs.
 
     Shared body for the standalone inversion kernel
@@ -213,10 +214,11 @@ def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref,
         for b in range(bm):
             x_ref[b, :, :] = a_ref[b, :, :].T * scale[b]
 
-    scales = scaled_round_coeffs(
-        MU_MIN_SPD if init == "spd" else MU_MIN_PAN, lo_iters)
+    if mu_min is None:
+        mu_min = MU_MIN_SPD if init == "spd" else MU_MIN_PAN
+    scales = scaled_round_coeffs(mu_min, lo_iters)
     ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=scales,
-                   mid_split=mid_split)
+                   mid_split=mid_split, polish_highest=polish_highest)
 
 
 # Assumed lower edge of spec(A·X_start) for the scaled-round schedules,
@@ -266,7 +268,7 @@ def scaled_round_coeffs(mu_min: float, rounds: int,
 
 
 def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=None,
-                   mid_split: bool = False):
+                   mid_split: bool = False, polish_highest: bool = True):
     """The iteration rounds of :func:`ns_vmem_iterate`, starting from
     whatever ``x_ref`` already holds (used directly by the warm-start
     kernel, where X is seeded from a previous batch's inverse — warm
@@ -312,7 +314,10 @@ def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=None,
         # in interpret/CPU mode DEFAULT is full fp32, so adding the
         # correction terms DOUBLE-COUNTS them and poisons the residual
         # to ~2⁻⁸ (caught by the CPU suite at κ=30).
-        final = (i == hi_iters - 1) or not mid_split
+        # polish_highest=False (the documented κ ≲ 10 fast variants):
+        # even the last round uses the 3-pass split — its ~2⁻¹⁷ relative
+        # residual error times κ stays under the gate only for small κ
+        final = ((i == hi_iters - 1) and polish_highest) or not mid_split
         for b in range(bm):
             if final:
                 tmp_ref[b, :, :] = eye - dot(a_ref[b, :, :], x_ref[b, :, :],
@@ -340,7 +345,8 @@ def _ns_warm_kernel(lo_iters, hi_iters, mid_split, a_ref, x0_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
-                                             "interpret", "init"))
+                                             "interpret", "init",
+                                             "polish_highest", "mu_min"))
 def inverse_newton_schulz_pallas(
     a: jnp.ndarray,
     lo_iters: int | None = None,
@@ -348,6 +354,8 @@ def inverse_newton_schulz_pallas(
     block: int | None = None,
     interpret: bool | None = None,
     init: str = "pan",
+    polish_highest: bool = True,
+    mu_min: float | None = None,
 ) -> jnp.ndarray:
     """VMEM-resident fixed-iteration Newton-Schulz (one Pallas launch).
 
@@ -437,7 +445,8 @@ def inverse_newton_schulz_pallas(
 
     out = pl.pallas_call(
         functools.partial(ns_vmem_iterate, lo_iters, hi_iters, init,
-                          mid_split=not run_interpret),
+                          mid_split=not run_interpret,
+                          polish_highest=polish_highest, mu_min=mu_min),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],

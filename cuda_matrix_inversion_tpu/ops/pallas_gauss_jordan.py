@@ -98,7 +98,7 @@ def _gauss_jordan_kernel(a_ref, out_ref, work_ref):
 
 
 def _blocked_gj_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
-                       tri_ref, tinv_ref, pidx_ref, gidx_ref):
+                       tri_ref, tinv_ref, pidx_ref):
     """Blocked Gauss-Jordan with partial pivoting — LU-style panels.
 
     Round-2 rewrite (VERDICT r1 weak #3): the old update
@@ -145,7 +145,7 @@ def _blocked_gj_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
         k1 = k0 + pw
         # -- 1. pivot + LU-factor the panel copy (fori_loop inside) --
         pcopy_ref[:, :, :] = work_ref[:, :, k0:k1]
-        _panel_factor_body(pw, k0, n, pcopy_ref, pidx_ref, gidx_ref)
+        _panel_factor_body(pw, k0, n, pcopy_ref, pidx_ref)
 
         # stacked triangular inverses of the panel diag block:
         # slots [0:BM] → L11⁻¹; slots [BM:2BM] → (U11⁻¹)ᵀ
@@ -303,7 +303,6 @@ def inverse_gauss_jordan_blocked(a: jnp.ndarray, block: int | None = None,
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),   # tri blocks (L+U)
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),   # tri inverses
             pltpu.VMEM((bm, n), jnp.float32),            # panel perm idx
-            pltpu.VMEM((bm, n), jnp.float32),            # global perm idx
         ],
         interpret=default_interpret(interpret),
     )(a_p)

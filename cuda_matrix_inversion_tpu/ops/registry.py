@@ -64,6 +64,17 @@ def _populate() -> None:
     register_inverse("newton_schulz_spd",
                      functools.partial(newton_schulz.inverse_newton_schulz,
                                        init="spd"))
+    # κ ≲ 10 fast lane (caller-asserted, narrower than the κ ≲ 30 entry):
+    # 4 scaled bf16 rounds from a µ ≥ 0.03 interval (vs 6 from 0.01) —
+    # measured 2.5e-5 worst at the κ=10 edge.  An all-3-pass polish was
+    # tried and rejected: its 2⁻¹⁷·κ residual floor measures ~1e-4 at
+    # κ=10, ON the gate.  The reference's diagonally-dominant fixture
+    # class (generate_inverse_matrices.m:8-18) lives here at κ ≈ 1.5-3.
+    register_inverse("newton_schulz_spd10_pallas",
+                     functools.partial(newton_schulz.inverse_newton_schulz_pallas,
+                                       init="spd", lo_iters=4, hi_iters=2,
+                                       mu_min=0.03),
+                     pallas=True)
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan
 

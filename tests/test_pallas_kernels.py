@@ -94,10 +94,11 @@ def test_newton_schulz_moderate_conditioning(rng):
 
 
 def test_large_n_routes_to_xla(rng):
-    # n > VMEM limit must transparently use the XLA factorization
+    # n > VMEM limit transparently recurses through the Schur split
+    # (ops/schur.py) and keeps the full 1e-4 gate
     a = make_spd_batch(2, 300, rng).astype(np.float32)
     inv = np.asarray(pc.inverse_cholesky(a))
-    assert _identity_err_inf(a, inv) < 1e-3  # larger n, fp32
+    assert _identity_err_inf(a, inv) < 1e-4
 
 
 def test_blocked_gauss_jordan_variant(rng):
@@ -107,7 +108,7 @@ def test_blocked_gauss_jordan_variant(rng):
 
     a = make_spd_batch(4, 64, rng).astype(np.float32)
     inv = np.asarray(inverse_gauss_jordan_blocked(a))
-    assert _identity_err_inf(a, inv) < 1e-3  # gate-marginal by design
+    assert _identity_err_inf(a, inv) < 1e-4  # r2 rewrite is gate-clean
 
 
 def test_newton_schulz_pallas_variant(rng):
@@ -140,7 +141,8 @@ def test_newton_schulz_spd_init(n, rng):
 
 
 def test_newton_schulz_spd_init_kappa30(rng):
-    # the documented domain edge of the default spd schedule (lo=8, hi=2)
+    # the documented domain edge of the default spd schedule (scaled lo=6
+    # + 2 polish rounds)
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
         inverse_newton_schulz_pallas,
     )
@@ -371,3 +373,20 @@ def test_newton_schulz_warm_start(rng):
     x3 = np.asarray(inverse_newton_schulz_pallas(a3, init="spd"))
     x3b = np.asarray(inverse_newton_schulz_warm(a3, x3))
     assert _identity_err_inf(a3, x3b) < 1e-4
+
+
+def test_spd10_fast_variant(rng):
+    # the kappa<=10 fast lane: registered, Pallas-marked, and gate-clean
+    # on its documented domain (CPU here = fp32 interpret; the bf16
+    # domain edge is validated on chip — 1.25e-5 worst at kappa=10)
+    from cuda_matrix_inversion_tpu.ops.registry import (
+        get_inverse_algorithm,
+        is_pallas_algorithm,
+    )
+
+    assert is_pallas_algorithm("newton_schulz_spd10_pallas")
+    fn = get_inverse_algorithm("newton_schulz_spd10_pallas")
+    a = _make_cond(6, 64, 10.0, rng).astype(np.float32)
+    assert _identity_err_inf(a, np.asarray(fn(a))) < 1e-4
+    b = make_spd_batch(5, 32, rng).astype(np.float32)
+    assert _identity_err_inf(b, np.asarray(fn(b))) < 1e-4
