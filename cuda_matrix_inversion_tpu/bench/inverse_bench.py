@@ -58,6 +58,7 @@ DEFAULT_ALGORITHMS = (
     "cholesky_pallas",
     "newton_schulz_pallas",
     "newton_schulz_spd_pallas",
+    "newton_schulz_spd10_pallas",
 )
 
 
