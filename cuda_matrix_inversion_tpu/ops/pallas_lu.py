@@ -27,17 +27,22 @@ Pallas launch per batch block:
   edge of the 1e-4 gate.  One Newton polish step (XLA, post-kernel)
   recovers LAPACK-level residuals on ill-conditioned inputs.
 
-Performance note (measured on v5e): per-column partial pivoting has a hard
-sequential-latency floor on TPU — roughly 0.25-0.5 µs per matrix-column
-regardless of formulation (the rank-1 Gauss-Jordan kernel hits the same
-floor, with a leaner per-column body).  Same-session A/B at 96×128×128:
-gauss_pallas ≈ 3.0 ms, lu_pallas ≈ 4.5-6 ms, XLA LU expander ≈ 5.9 ms.
-So this kernel beats XLA's expander but NOT the rank-1 GJ kernel; its
-value is the LAPACK-matching factorization semantics (getrf pivot order,
-compact LU, getri substitutions) and the documented measurement that MXU
-blocking cannot buy back the pivot-latency floor.  For speed,
-Newton-Schulz and the blocked Cholesky remain the fast paths; for general
-pivoted direct inversion, gauss_pallas is the speed pick.
+Performance note (measured on v5e, 1600×128×128 fp32): the panel loop is
+*layout*-bound, not pivot-bound.  In the natural ``(BM, N, pw)`` panel
+layout each per-column step needs lane→sublane relayouts (the ``(BM, N)``
+multiplier vector must be broadcast across the pw lane dim) and uses only
+pw of the 128 lanes; a phase-split measurement put the whole 62.8 ms
+kernel cost in the factor loop (substitution phases: 1.6 ms), of which
+only ~19 ms was the pivot search itself.  Storing the panel TRANSPOSED —
+``(BM, pw, N)``, matrix rows on the 128 lanes, panel columns on sublanes
+— turns every per-column op into a native lane-reduction/lane-broadcast
+(pivot row extraction is a cross-lane masked sum to ``(BM, pw, 1)``,
+multiplier broadcast rides the sublane dim) and cuts the kernel 62.8 →
+19.5 ms, 3.2×.  The remaining per-column chain (~2.3 µs·col⁻¹ per
+24-matrix block) is the argmax + swap dependency chain; it makes this the
+FASTEST pivoted direct inversion here — ahead of the rank-1 Gauss-Jordan
+kernel (44 ms), whose per-column body pays the same relayout tax this
+kernel no longer does.
 
 Mosaic constraints honored throughout: no dynamic lane-dim indexing
 (one-hot lane reductions / static panel slices), no bool 3-D vectors
@@ -138,11 +143,86 @@ def _panel_factor_body(pw: int, k0: int, n: int, pcopy_ref, pidx_ref):
     jax.lax.fori_loop(0, pw, body, 0)
 
 
-def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
+def _panel_factor_body_t(pw: int, k0: int, n: int, pcT_ref, pidx_ref):
+    """Pivoted rank-1 factorization of one panel in TRANSPOSED layout.
+
+    ``pcT_ref`` (BM, pw, N) holds the panel transposed: ``[b, j, i] =
+    panel[b, i, j]`` — matrix rows ride the 128 lanes, panel columns the
+    sublanes.  This is the layout that makes the sequential per-column
+    chain cheap (see the module docstring's 62.8 → 19.5 ms measurement):
+
+    * column j extraction is a dynamic SUBLANE slice (``pl.ds`` — legal),
+      not a one-hot lane reduction;
+    * the pivot row's panel entries are a cross-lane masked sum to
+      ``(BM, pw, 1)``, broadcast back over lanes for the swap blend —
+      both native VPU ops;
+    * the ``(BM, N)`` multiplier vector broadcasts across the SUBLANE dim
+      (``mult[:, None, :]``), which needs no relayout, where the natural
+      layout needed a lane→sublane relayout per column.
+
+    Row swaps are applied to the panel copy only; the permutation is
+    recorded in ``pidx_ref`` (BM, N) and applied to the full work buffer
+    once per panel as a one-hot MXU matmul (batched laswp).  The post-swap
+    pivot column is derived from the pre-swap column (entries g/p
+    exchange) and the post-swap pivot row's panel entries are the
+    already-reduced ``colp`` — no re-reads of the panel.
+    """
+    bm = pcT_ref.shape[0]
+    lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    sub_pw = jax.lax.broadcasted_iota(jnp.int32, (bm, pw, 1), 1)
+    pidx_ref[:, :] = lanes_n.astype(jnp.float32)
+
+    def body(j, _):
+        g = k0 + j
+        # pre-swap column j of the panel: dynamic sublane slice
+        gcol = pcT_ref[:, pl.ds(j, 1), :][:, 0, :]           # (BM, N)
+        # per-matrix pivot row: argmax |col| over rows >= g
+        cand = jnp.where(lanes_n >= g, jnp.abs(gcol), -1.0)
+        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        gmask = (lanes_n == g).astype(jnp.float32)
+        pmask = (lanes_n == piv[:, None]).astype(jnp.float32)
+        g3 = gmask[:, None, :]
+        p3 = (pmask * (1.0 - gmask))[:, None, :]
+
+        # swap rows g,p (lane positions) in the transposed panel: the two
+        # rows' panel entries are cross-lane masked sums, lane-broadcast back
+        pcT = pcT_ref[:, :, :]
+        colg = jnp.sum(pcT * g3, axis=2, keepdims=True)       # (BM, pw, 1)
+        colp = jnp.sum(pcT * pmask[:, None, :], axis=2, keepdims=True)
+        pcT_ref[:, :, :] = pcT + g3 * (colp - pcT) + p3 * (colg - pcT)
+
+        # panel-local permutation index (cheap (BM, N) pass)
+        pv = pidx_ref[:, :]
+        eg = jnp.sum(pv * gmask, axis=1, keepdims=True)
+        ep_i = jnp.sum(pv * pmask, axis=1, keepdims=True)
+        pidx_ref[:, :] = (pv + gmask * (ep_i - pv)
+                          + pmask * (1.0 - gmask) * (eg - pv))
+
+        # post-swap pivot column, derived from gcol (entries g/p exchange)
+        ekv = jnp.sum(gcol * gmask, axis=1, keepdims=True)    # (BM, 1)
+        pivval = jnp.sum(gcol * pmask, axis=1, keepdims=True)
+        gcol2 = jnp.where(lanes_n == g, pivval,
+                          jnp.where(lanes_n == piv[:, None], ekv, gcol))
+        mult = jnp.where(lanes_n > g, gcol2 / pivval, 0.0)    # (BM, N)
+        # post-swap pivot row IS old row p; its panel entries are colp,
+        # restricted to columns right of j (sublanes > j)
+        prow_right = colp * (sub_pw > j).astype(jnp.float32)  # (BM, pw, 1)
+        eliminated = pcT_ref[:, :, :] - prow_right * mult[:, None, :]
+        # compact L: panel column j (sublane j) below the diagonal := mult
+        sel = ((sub_pw == j).astype(jnp.float32)
+               * (lanes_n > g).astype(jnp.float32)[:, None, :])
+        pcT_ref[:, :, :] = eliminated * (1.0 - sel) + mult[:, None, :] * sel
+        return 0
+
+    jax.lax.fori_loop(0, pw, body, 0)
+
+
+def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcT_ref,
                                tri_ref, tinv_ref, ldws_ref, udws_ref,
                                pidx_ref, gidx_ref):
     """getrf + getri fused: factor A in VMEM with the permutation kept as
-    an index vector, then A⁻¹ = U⁻¹·(L⁻¹P)."""
+    an index vector, then A⁻¹ = U⁻¹·(L⁻¹P).  The panel scratch is the
+    TRANSPOSED (BM, pw, N) layout of :func:`_panel_factor_body_t`."""
     bm, n, _ = a_ref.shape
     np_ = n // pw
 
@@ -150,7 +230,6 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
     col_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 1)
     eye_pw = (row_pw == col_pw).astype(jnp.float32)
     lane_row_n = jax.lax.broadcasted_iota(jnp.int32, (pw, n), 1)
-    sub_row_n = jax.lax.broadcasted_iota(jnp.int32, (n, pw), 0)
     row_f2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0
                                       ).astype(jnp.float32)
 
@@ -162,8 +241,9 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
     for p in range(np_):
         k0 = p * pw
         k1 = k0 + pw
-        pcopy_ref[:, :, :] = work_ref[:, :, k0:k1]
-        _panel_factor_body(pw, k0, n, pcopy_ref, pidx_ref)
+        for b in range(bm):
+            pcT_ref[b, :, :] = work_ref[b, :, k0:k1].T
+        _panel_factor_body_t(pw, k0, n, pcT_ref, pidx_ref)
         # apply the panel's accumulated row permutation to the work
         # buffer as ONE one-hot matmul per matrix (batched laswp): the
         # index vector becomes a 0/1 matrix via exact f32 arithmetic
@@ -184,27 +264,28 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
             work_ref[b, :, :] = _mm(oht, work_ref[b, :, :],
                                     contract=((0,), (0,)))
             gidx_ref[b:b + 1, :] = _mm(gidxv[b][None, :], oht)
-        work_ref[:, :, k0:k1] = pcopy_ref[:, :, :]
+            # factored panel back into work (compact L/U columns k0:k1)
+            work_ref[b, :, k0:k1] = pcT_ref[b, :, :].T
 
         # both pw×pw triangular inverses in ONE vectorized substitution
         # pass over a (2BM, pw, pw) stack — the sequential pw-step loop is
         # latency-bound, so doubling the vector width halves its cost.
         # slots [0:BM]: L11ᵀ rows (= L columns) → tinv[0:BM] = L11⁻¹;
         # slots [BM:2BM]: U11 rows (= U11ᵀ columns) → tinv[BM:] = (U11⁻¹)ᵀ
-        blk = pcopy_ref[:, k0:k1, :]  # (BM, pw, pw) compact panel diag block
-        for b in range(bm):
-            tri_ref[b, :, :] = blk[b, :, :].T
-        tri_ref[0:bm, :, :] = (jnp.where(row_pw < col_pw, tri_ref[0:bm, :, :],
-                                         0.0)
+        # The transposed panel holds blk.T natively: blk.T = pcT[:, :, k0:k1]
+        tri_ref[0:bm, :, :] = (jnp.where(row_pw < col_pw,
+                                         pcT_ref[:, :, k0:k1], 0.0)
                                + jnp.broadcast_to(eye_pw, (bm, pw, pw)))
-        tri_ref[bm:2 * bm, :, :] = jnp.where(row_pw <= col_pw, blk, 0.0)
+        for b in range(bm):
+            tri_ref[bm + b, :, :] = pcT_ref[b, :, k0:k1].T
+        tri_ref[bm:2 * bm, :, :] = jnp.where(row_pw <= col_pw,
+                                             tri_ref[bm:2 * bm, :, :], 0.0)
         _triangular_inverse_body(pw, tri_ref, tinv_ref)
         ldws_ref[:, k0:k1, :] = tinv_ref[0:bm, :, :]
         udws_ref[:, k0:k1, :] = tinv_ref[bm:2 * bm, :, :]
 
         # panel U rows + rank-pw trailing update on the MXU
         keep_mask = (lane_row_n >= k1).astype(jnp.float32)  # (pw, n)
-        l21_mask = (sub_row_n >= k1).astype(jnp.float32)    # (n, pw)
         for b in range(bm):
             rowslab = work_ref[b, k0:k1, :]  # (pw, N)
             # U12 = L11⁻¹ A12 — unit-triangular solve as one matmul with
@@ -213,8 +294,12 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
             u12 = newrows * keep_mask
             work_ref[b, k0:k1, :] = rowslab * (1.0 - keep_mask) + u12
             if p < np_ - 1:
-                l21 = work_ref[b, :, k0:k1] * l21_mask  # (N, pw)
-                work_ref[b, :, :] = work_ref[b, :, :] - _mm(l21, u12)
+                # L21 lives transposed in pcT (rows >= k1 on lanes):
+                # mask there and contract the panel-column dim directly —
+                # no transpose back needed for the trailing update
+                l21t = pcT_ref[b, :, :] * keep_mask  # (pw, N)
+                work_ref[b, :, :] = work_ref[b, :, :] - _mm(
+                    l21t, u12, contract=((0,), (0,)))
 
     # ---- Phase 2: Y = L⁻¹ P by block forward substitution (Y in out) ----
     # Seed out with the one-hot P built from the global index vector;
@@ -310,10 +395,11 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
     else:
         # ~5 live (BM,N,N)-equivalents (work, double-buffered in/out
         # blocks, panel scratch).  The panel pivot loop is latency-bound
-        # so bigger blocks help, but 32 exceeds the 16 MB scoped-VMEM
-        # limit once the grid pipelines (grid > 1) — 24 is the biggest
-        # reliable block at n=128
-        bm = tuned_block(n, numerator=3 * 2**19, max_bm=24)
+        # so bigger blocks help, but the transposed-panel kernel's
+        # per-matrix transposes push scoped VMEM past the 16 MB limit at
+        # 24 (by ~0.5 MB) — 20 is the biggest reliable block at n=128,
+        # and 20 vs 16 measured identical (19.5 ms at 1600×128)
+        bm = tuned_block(n, numerator=3 * 2**19, max_bm=20)
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
 
@@ -327,7 +413,7 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
         out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bm, n, n), jnp.float32),      # work (compact LU)
-            pltpu.VMEM((bm, n, pw), jnp.float32),     # panel copy
+            pltpu.VMEM((bm, pw, n), jnp.float32),     # panel copy (transposed)
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri blocks (L+U)
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri inverses
             pltpu.VMEM((bm, n, pw), jnp.float32),     # saved L11⁻¹ per panel
