@@ -71,6 +71,7 @@ def _cholesky_factor_body(n: int, work_ref, lt_ref):
     """
     bm = work_ref.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    sub3 = jax.lax.broadcasted_iota(jnp.int32, (bm, n, 1), 1)
 
     def body(k, _):
         col = work_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, N) — row k = col k
@@ -79,14 +80,26 @@ def _cholesky_factor_body(n: int, work_ref, lt_ref):
         lcol = jnp.where(lanes > k, col * inv_d, 0.0)
         lcol = jnp.where(lanes == k, akk * inv_d, lcol)  # elem k: sqrt(akk)
         lt_ref[:, pl.ds(k, 1), :] = lcol[:, None, :]
-        # trailing rank-1 update: A -= lcol lcolᵀ (zero outside i,j >= k)
-        work_ref[:, :, :] = work_ref[:, :, :] - lcol[:, :, None] * lcol[:, None, :]
+        # trailing rank-1 update: A -= lcol lcolᵀ.  The outer product needs
+        # the column in BOTH layouts; the sublane copy comes from a
+        # cross-lane masked reduction of the (symmetric) work block — a
+        # native VPU op — NOT from relayouting lcol (lcol[:, :, None]
+        # forces a lane→sublane relayout per column, the latency that
+        # dominated this loop; removing it measured 12.4 → 8.2 ms at
+        # 1600×128 before the factor+inverse fusion below).
+        lmask = (lanes == k).astype(jnp.float32)
+        col_s = jnp.sum(work_ref[:, :, :] * lmask[:, None, :], axis=2,
+                        keepdims=True)                  # (BM, N, 1)
+        iv3 = inv_d[:, :, None]
+        lcol_s = jnp.where(sub3 > k, col_s * iv3, 0.0)
+        lcol_s = jnp.where(sub3 == k, akk[:, :, None] * iv3, lcol_s)
+        work_ref[:, :, :] = work_ref[:, :, :] - lcol_s * lcol[:, None, :]
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
 
 
-def _triangular_inverse_body(n: int, lt_ref, w_ref):
+def _triangular_inverse_body(n: int, lt_ref, w_ref, nat_ref=None):
     """W = L⁻¹ by vectorized forward elimination over a (BM, N, N) block.
 
     Gauss-Jordan on [L | I] specialized to lower-triangular L: because a
@@ -97,19 +110,80 @@ def _triangular_inverse_body(n: int, lt_ref, w_ref):
     factorization loop (this replaces the reference's
     ``inverse_upper_kernel_device`` / ``inverse_lower_mm`` substitution
     kernels, ``inverse_cholesky_gpu.cu:286-301,517-561``).
+
+    ``nat_ref`` (same shape, optional): scratch for a natural-layout copy
+    of L, so the elimination factor column is read by a cross-lane masked
+    reduction instead of relayouting the lane vector (the lane→sublane
+    relayout per step was the latency driver — see
+    ``_cholesky_factor_body``).  Without it the relayout formulation is
+    used (interpret-mode callers that don't care).
     """
     bm = lt_ref.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    sub3 = jax.lax.broadcasted_iota(jnp.int32, (bm, n, 1), 1)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.float32)
     w_ref[:, :, :] = jnp.broadcast_to(eye, (bm, n, n))
+    if nat_ref is not None:
+        for b in range(bm):
+            nat_ref[b, :, :] = lt_ref[b, :, :].T
 
     def body(k, _):
         lcol = lt_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, N): L[:, i, k] over lanes i
         lkk = _lane_select(lcol, k)  # (BM, 1)
         wrow = w_ref[:, pl.ds(k, 1), :][:, 0, :] / lkk  # (BM, N)
-        factor = jnp.where(lanes > k, lcol, 0.0)
-        w_ref[:, :, :] = w_ref[:, :, :] - factor[:, :, None] * wrow[:, None, :]
+        if nat_ref is None:
+            factor_s = jnp.where(lanes > k, lcol, 0.0)[:, :, None]
+        else:
+            lmask = (lanes == k).astype(jnp.float32)
+            col_s = jnp.sum(nat_ref[:, :, :] * lmask[:, None, :], axis=2,
+                            keepdims=True)              # (BM, N, 1) = L[:, k]
+            factor_s = jnp.where(sub3 > k, col_s, 0.0)
+        w_ref[:, :, :] = w_ref[:, :, :] - factor_s * wrow[:, None, :]
+        w_ref[:, pl.ds(k, 1), :] = wrow[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref):
+    """Fused factorization + triangular inverse: ONE sequential loop
+    computes column k of L and immediately applies the forward-substitution
+    downdate to W, reusing the sublane column copy the rank-1 trailing
+    update already needs.  Halves the per-panel sequential chain vs
+    running :func:`_cholesky_factor_body` then
+    :func:`_triangular_inverse_body` (measured 8.2 → 6.0 ms at 1600×128,
+    and 12.4 → 4.9 ms combined with the relayout removal and BM 24→32).
+    ``work_ref`` is destroyed; ``lt_ref`` gets rows of Lᵀ; ``w_ref`` gets
+    W = L⁻¹.
+    """
+    bm = work_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    sub3 = jax.lax.broadcasted_iota(jnp.int32, (bm, n, 1), 1)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.float32)
+    w_ref[:, :, :] = jnp.broadcast_to(eye, (bm, n, n))
+
+    def body(k, _):
+        col = work_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, N) — row k = col k
+        akk = _lane_select(col, k)
+        inv_d = 1.0 / jnp.sqrt(akk)
+        lcol = jnp.where(lanes > k, col * inv_d, 0.0)
+        lcol = jnp.where(lanes == k, akk * inv_d, lcol)
+        lt_ref[:, pl.ds(k, 1), :] = lcol[:, None, :]
+        lmask = (lanes == k).astype(jnp.float32)
+        col_s = jnp.sum(work_ref[:, :, :] * lmask[:, None, :], axis=2,
+                        keepdims=True)                  # (BM, N, 1)
+        iv3 = inv_d[:, :, None]
+        lcol_s = jnp.where(sub3 > k, col_s * iv3, 0.0)  # L[i>k, k] on sublanes
+        work_ref[:, :, :] = (work_ref[:, :, :]
+                             - (lcol_s + jnp.where(sub3 == k,
+                                                   akk[:, :, None] * iv3, 0.0))
+                             * lcol[:, None, :])
+        # forward-substitution downdate of W with the same column copy:
+        # wrow = W[k, :] / L[k, k];  W[i>k, :] -= L[i, k] · wrow
+        wrow = w_ref[:, pl.ds(k, 1), :][:, 0, :] * inv_d
+        w_ref[:, :, :] = w_ref[:, :, :] - lcol_s * wrow[:, None, :]
         w_ref[:, pl.ds(k, 1), :] = wrow[:, None, :]
         return 0
 
@@ -132,8 +206,7 @@ def _chol_inverse_kernel(a_ref, out_ref, work_ref, l_ref, w_ref):
     """Naive (rank-1) path — used for small N where blocking can't help."""
     n = a_ref.shape[-1]
     work_ref[:, :, :] = a_ref[:, :, :]
-    _cholesky_factor_body(n, work_ref, l_ref)
-    _triangular_inverse_body(n, l_ref, w_ref)
+    _cholesky_factor_inverse_body(n, work_ref, l_ref, w_ref)
     # A⁻¹ = Wᵀ W — per-matrix 2D MXU matmuls (Mosaic's dot wants rank 2)
     bm = a_ref.shape[0]
     for b in range(bm):
@@ -156,8 +229,8 @@ def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
     for p in range(np_):
         k0 = p * pw
         dblk_ref[:, :, :] = work_ref[:, k0:k0 + pw, k0:k0 + pw]
-        _cholesky_factor_body(pw, dblk_ref, dlt_ref)
-        _triangular_inverse_body(pw, dlt_ref, dw_ref)  # dw = Ld⁻¹
+        # fused: one sequential loop yields both Ld (dlt) and Ld⁻¹ (dw)
+        _cholesky_factor_inverse_body(pw, dblk_ref, dlt_ref, dw_ref)
         dws_ref[:, k0:k0 + pw, :] = dw_ref[:, :, :]
         tri_mask = lane_n >= (sub_pw + k0)  # lower-tri in Lᵀ row space
         for b in range(bm):
@@ -285,10 +358,11 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         bm = 8
     elif pw is not None:
         # blocked path: bigger batch blocks amortize the sequential
-        # per-panel small loops (measured optimum ≈ 24 at n=128).  VMEM
-        # carries ~4 (BM,N,N) buffers (work + lt scratch, aliased out,
-        # pipelined in), so budget ≈ 4 MB per buffer.
-        bm = tuned_block(n)
+        # per-panel small loops.  With the fused factor+inverse body the
+        # loop is lean enough that 32 wins at n=128 (16: 6.0 ms, 24: 5.3,
+        # 32: 4.9, 48: VMEM OOM at 1600×128); VMEM carries ~4 (BM,N,N)
+        # buffers (work + lt scratch, aliased out, pipelined in).
+        bm = tuned_block(n, numerator=4 * 2**19, max_bm=32)
     else:
         # naive rank-1 path (n < 64): the column loop is sequential-
         # latency-bound, so wide batch blocks are nearly free — 32

@@ -98,7 +98,7 @@ def _gauss_jordan_kernel(a_ref, out_ref, work_ref):
 
 
 def _blocked_gj_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
-                       tri_ref, tinv_ref, pidx_ref):
+                       tri_ref, tinv_ref, tnat_ref, pidx_ref):
     """Blocked Gauss-Jordan with partial pivoting — LU-style panels.
 
     Round-2 rewrite (VERDICT r1 weak #3): the old update
@@ -156,7 +156,7 @@ def _blocked_gj_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
                                          0.0)
                                + jnp.broadcast_to(eye_pw, (bm, pw, pw)))
         tri_ref[bm:2 * bm, :, :] = jnp.where(row_pw <= col_pw, blk, 0.0)
-        _triangular_inverse_body(pw, tri_ref, tinv_ref)
+        _triangular_inverse_body(pw, tri_ref, tinv_ref, tnat_ref)
 
         # apply the panel's row permutation to the augmented work as ONE
         # one-hot matmul per matrix (exact 0/1 arithmetic under HIGHEST)
@@ -302,6 +302,7 @@ def inverse_gauss_jordan_blocked(a: jnp.ndarray, block: int | None = None,
             pltpu.VMEM((bm, n, pw), jnp.float32),        # panel copy
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),   # tri blocks (L+U)
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),   # tri inverses
+            pltpu.VMEM((2 * bm, pw, pw), jnp.float32),   # tri natural-layout
             pltpu.VMEM((bm, n), jnp.float32),            # panel perm idx
         ],
         interpret=default_interpret(interpret),

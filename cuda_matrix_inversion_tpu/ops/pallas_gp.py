@@ -33,10 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
     _blocked_lt_w,
-    _cholesky_factor_body,
+    _cholesky_factor_inverse_body,
     _mm,
     _panel_width,
-    _triangular_inverse_body,
 )
 from cuda_matrix_inversion_tpu.ops.pallas_common import (
     block_batch,
@@ -74,8 +73,7 @@ def _gp_kernel(pw, a_ref, b_ref, c_ref, d_ref, e_ref, out_ref,
     work_ref[:, :, :] = b_ref[:, :, :] + eye * c_ref[:, :][:, None, :]
 
     if pw is None:
-        _cholesky_factor_body(n, work_ref, lt_ref)
-        _triangular_inverse_body(n, lt_ref, w_ref)
+        _cholesky_factor_inverse_body(n, work_ref, lt_ref, w_ref)
     else:
         _blocked_lt_w(pw, work_ref, lt_ref, w_ref, *small_refs)
 

@@ -218,8 +218,8 @@ def _panel_factor_body_t(pw: int, k0: int, n: int, pcT_ref, pidx_ref):
 
 
 def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcT_ref,
-                               tri_ref, tinv_ref, ldws_ref, udws_ref,
-                               pidx_ref, gidx_ref):
+                               tri_ref, tinv_ref, tnat_ref, ldws_ref,
+                               udws_ref, pidx_ref, gidx_ref):
     """getrf + getri fused: factor A in VMEM with the permutation kept as
     an index vector, then A⁻¹ = U⁻¹·(L⁻¹P).  The panel scratch is the
     TRANSPOSED (BM, pw, N) layout of :func:`_panel_factor_body_t`."""
@@ -280,7 +280,7 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcT_ref,
             tri_ref[bm + b, :, :] = pcT_ref[b, :, k0:k1].T
         tri_ref[bm:2 * bm, :, :] = jnp.where(row_pw <= col_pw,
                                              tri_ref[bm:2 * bm, :, :], 0.0)
-        _triangular_inverse_body(pw, tri_ref, tinv_ref)
+        _triangular_inverse_body(pw, tri_ref, tinv_ref, tnat_ref)
         ldws_ref[:, k0:k1, :] = tinv_ref[0:bm, :, :]
         udws_ref[:, k0:k1, :] = tinv_ref[bm:2 * bm, :, :]
 
@@ -416,6 +416,7 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
             pltpu.VMEM((bm, pw, n), jnp.float32),     # panel copy (transposed)
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri blocks (L+U)
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri inverses
+            pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri natural-layout
             pltpu.VMEM((bm, n, pw), jnp.float32),     # saved L11⁻¹ per panel
             pltpu.VMEM((bm, n, pw), jnp.float32),     # saved (U11⁻¹)ᵀ per panel
             pltpu.VMEM((bm, n), jnp.float32),         # panel permutation idx
