@@ -9,17 +9,22 @@ SURVEY §2.4.3).  Here:
 
 * the whole factorization is ONE kernel launch; the column loop is an
   in-kernel ``fori_loop``;
-* pivoting is true max-|·| partial pivoting via a per-matrix ``argmax``
-  — each matrix in the batch picks its own pivot row simultaneously,
-  with masked one-hot arithmetic instead of divergent row swaps;
-* the augmented [A | I] system lives in VMEM; elimination is a
-  vectorized rank-1 update over all BM matrices at once (the analog of
-  ``transform_matrix``'s shared-memory row elimination, ``:59-82``).
+* pivoting is true max-|·| pivoting via a per-matrix ``argmax`` — each
+  matrix in the batch picks its own pivot row simultaneously, with
+  masked one-hot arithmetic, and no row is ever physically moved: the
+  accumulated permutation is applied once at the end as a one-hot MXU
+  contraction (see :func:`_gauss_jordan_kernel`);
+* the augmented [A | I] system lives in VMEM TRANSPOSED (matrix rows on
+  the 128 lanes); elimination is a vectorized rank-1 update over all BM
+  matrices at once (the analog of ``transform_matrix``'s shared-memory
+  row elimination, ``:59-82``) built entirely from native lane
+  reductions/broadcasts — no lane↔sublane relayouts in the loop.
 
 Mosaic constraint notes: dynamic indexing is legal only on the sublane
-(second-to-last) dim, so the pivot column is extracted by a one-hot
-lane reduction and per-matrix pivot rows by one-hot sublane reductions —
-there is no data-dependent control flow anywhere, as a TPU kernel wants.
+(second-to-last) dim — which is exactly why the augmented system is
+stored transposed: the pivot COLUMN becomes a sublane slice and the
+pivot ROW a cross-lane masked reduction, both native; there is no
+data-dependent control flow anywhere, as a TPU kernel wants.
 """
 
 from __future__ import annotations
@@ -39,62 +44,80 @@ from cuda_matrix_inversion_tpu.ops.pallas_common import (
 )
 
 
-def _gauss_jordan_kernel(a_ref, out_ref, work_ref):
-    bm, n, _ = a_ref.shape
+def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref):
+    """Swap-free transposed Gauss-Jordan (round-2 rewrite, 43.9 → 14.1 ms
+    at 1600×128).
+
+    The augmented system lives TRANSPOSED in VMEM — ``work[b, c, i] =
+    aug[b, i, c]``, matrix rows on the 128 lanes, the 2N augmented
+    columns on sublanes — the layout move that already paid 3.2× in the
+    LU kernel (see :mod:`.pallas_lu`): the pivot row's 2N entries come
+    from ONE cross-lane masked reduction to ``(BM, 2N, 1)`` and broadcast
+    back over lanes, where the natural layout needed a sublane reduction
+    plus a lane→sublane relayout per column.
+
+    And there is no physical row swap at all: step k pivots on the
+    max-|·| row among the not-yet-used rows (classical pivoting over
+    unused rows — the same candidate set partial pivoting sees, reached
+    without moving data), eliminates in place, and records p_k in an
+    index vector; at the end the left half is the permutation P (row p_k
+    = e_k), so A⁻¹ = Pᵀ·R is materialized by one one-hot MXU contraction
+    per matrix — the same batched-laswp trick as the LU kernel's
+    per-panel permutation apply.  ``at_ref`` arrives pre-transposed (one
+    XLA swapaxes outside the kernel, off the VMEM critical path).
+    """
+    bm, n, _ = at_ref.shape
     w2 = 2 * n
 
-    lanes_aug = jax.lax.broadcasted_iota(jnp.int32, (bm, w2), 1)
     lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    iota_nn_l = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
 
-    # work = [A | I]
-    work_ref[:, :, 0:n] = a_ref[:, :, :]
+    # work = [A | I] transposed
+    work_ref[:, 0:n, :] = at_ref[:, :, :]
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.float32)
-    work_ref[:, :, n:w2] = jnp.broadcast_to(eye, (bm, n, n))
+           == iota_nn_l).astype(jnp.float32)
+    work_ref[:, n:w2, :] = jnp.broadcast_to(eye, (bm, n, n))
+    used_ref[:, :] = jnp.zeros((bm, n), jnp.float32)
+    pidx_ref[:, :] = jnp.zeros((bm, n), jnp.float32)
 
     def body(k, _):
-        # ---- pivot column k of the A-half: one-hot lane reduction
-        # (f32 multiply, not where: Mosaic can't make 3-D bool vectors) ----
-        colmask = (lanes_n == k).astype(jnp.float32)  # (BM, N)
-        col = jnp.sum(work_ref[:, :, 0:n] * colmask[:, None, :], axis=2)  # (BM, N)
-        # ---- per-matrix pivot row: argmax |col| over rows >= k ----
-        cand = jnp.where(lanes_n >= k, jnp.abs(col), -1.0)
-        p = jnp.argmax(cand, axis=1).astype(jnp.int32)  # (BM,)
-        pmask = (lanes_n == p[:, None]).astype(jnp.float32)  # (BM, N)
+        # column k of the A-half: dynamic SUBLANE slice (legal), not a
+        # one-hot lane reduction
+        col = work_ref[:, pl.ds(k, 1), :][:, 0, :]           # (BM, N)
+        # per-matrix pivot row: argmax |col| over unused rows
+        cand = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col), -1.0)
+        p = jnp.argmax(cand, axis=1).astype(jnp.int32)       # (BM,)
+        pmask = (lanes_n == p[:, None]).astype(jnp.float32)
+        used_ref[:, :] = used_ref[:, :] + pmask
+        kmask = (lanes_n == k).astype(jnp.float32)
+        # record p_k (float via masked iota sum: Mosaic rejects sitofp of
+        # the argmax vector)
+        p_f = jnp.sum(lanes_n.astype(jnp.float32) * pmask, axis=1,
+                      keepdims=True)                         # (BM, 1)
+        pidx_ref[:, :] = pidx_ref[:, :] + kmask * (p_f - pidx_ref[:, :])
 
-        # ---- gather rows k and p ----
-        rowk = work_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, 2N)
-        rowp = jnp.sum(work_ref[:, :, :] * pmask[:, :, None], axis=1)  # (BM, 2N)
-
-        # ---- swap rows k <-> p (arithmetic blend on f32 masks: Mosaic
-        # cannot materialize 3-D bool vectors).  Only row p needs the
-        # blend — row k is overwritten with the normalized pivot row at
-        # the end of the step, so its half of the swap is skipped
-        # (saves a full-width pass + a mask relayout per step). ----
-        kmask = (lanes_n == k).astype(jnp.float32)  # (BM, N)
-        is_p_only = (pmask * (1.0 - kmask))[:, :, None]
-        work = work_ref[:, :, :]
-        swapped = work + is_p_only * (rowk[:, None, :] - work)
-
-        # ---- normalize pivot row, eliminate ----
-        pivot = jnp.sum(jnp.where(lanes_aug == k, rowp, 0.0), axis=1,
-                        keepdims=True)  # (BM, 1) = A[p, k]
-        rownorm = rowp / pivot  # (BM, 2N)
-
-        # pivot column after the swap: elements k and p exchanged
-        ek = jnp.sum(jnp.where(lanes_n == k, col, 0.0), axis=1, keepdims=True)
-        ep = jnp.sum(jnp.where(lanes_n == p[:, None], col, 0.0), axis=1,
-                     keepdims=True)
-        col_sw = jnp.where(lanes_n == k, ep,
-                           jnp.where(lanes_n == p[:, None], ek, col))
-        factor = jnp.where(lanes_n == k, 0.0, col_sw)  # row k: no self-elim
-
-        work_ref[:, :, :] = swapped - factor[:, :, None] * rownorm[:, None, :]
-        work_ref[:, pl.ds(k, 1), :] = rownorm[:, None, :]
+        pivot = jnp.sum(col * pmask, axis=1, keepdims=True)  # (BM, 1) = A[p, k]
+        rowp = jnp.sum(work_ref[:, :, :] * pmask[:, None, :], axis=2,
+                       keepdims=True)                        # (BM, 2N, 1)
+        rownorm = rowp / pivot[:, :, None]
+        factor = col * (1.0 - pmask)                         # no self-elim
+        p3 = pmask[:, None, :]
+        # eliminate all other rows and write the normalized pivot row, in
+        # one fused read-modify-write pass
+        work_ref[:, :, :] = ((work_ref[:, :, :]
+                              - rownorm * factor[:, None, :]) * (1.0 - p3)
+                             + rownorm * p3)
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
-    out_ref[:, :, :] = work_ref[:, :, n:w2]
+
+    # A⁻¹[k, c] = R[p_k, c]: one-hot contraction over the lane (row) dim,
+    # exact 0/1 arithmetic under HIGHEST precision
+    for b in range(bm):
+        oht = jnp.maximum(0.0, 1.0 - jnp.abs(
+            pidx_ref[b][:, None] - iota_nn_l.astype(jnp.float32)))  # (N, N)
+        out_ref[b, :, :] = _mm(oht, work_ref[b, n:w2, :],
+                               contract=((1,), (1,)))
 
 
 def _blocked_gj_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
@@ -216,7 +239,6 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
         from cuda_matrix_inversion_tpu.ops import xla as _xla
 
         return _xla.inverse_lu(a)
-    batch = a.shape[0]
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
     a, n_orig = pad_matrix_dim(a)  # tile-align n (identity block pad)
@@ -224,17 +246,22 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
 
     if block is not None:
         bm = block
-    elif n <= 128:
-        # the pivot loop is sequential-latency-bound, so wider batch
-        # blocks amortize it: 16 measured 12-27% faster than 8 across
-        # 100-1600 × 32-128 (24/32 regress — the per-column full-width
-        # passes become bandwidth-bound first)
-        bm = 16
     else:
-        # augmented (n, 2n) blocks: n > 128 exceeds VMEM at bm 16
-        bm = block_batch(batch, n, buffers=4)
+        # the pivot loop is sequential-latency-bound, so the widest batch
+        # block VMEM allows wins (swap-free transposed kernel: 16/24/32/48
+        # measured 15.9/15.0/14.1/14.4 ms at 1600×128) — budget the
+        # (BM, 2N, N) work buffer + out + pipelined in blocks
+        from cuda_matrix_inversion_tpu.ops.pallas_common import (
+            padded_matrix_bytes,
+        )
+
+        bm = (6 * 2**20) // (2 * padded_matrix_bytes(n))
+        bm = max(8, min(32, bm - bm % 8))
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
+    # pre-transpose OUTSIDE the kernel (XLA streams it at HBM speed; the
+    # kernel wants rows on lanes — see _gauss_jordan_kernel)
+    at = jnp.swapaxes(a_p, -1, -2)
 
     out = pl.pallas_call(
         _gauss_jordan_kernel,
@@ -244,9 +271,13 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
         out_specs=pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, n, 2 * n), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((bm, 2 * n, n), jnp.float32),   # work (transposed)
+            pltpu.VMEM((bm, n), jnp.float32),          # used-row mask
+            pltpu.VMEM((bm, n), jnp.float32),          # pivot index p_k
+        ],
         interpret=default_interpret(interpret),
-    )(a_p)
+    )(at)
     return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
 
 
