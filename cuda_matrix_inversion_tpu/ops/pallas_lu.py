@@ -38,11 +38,13 @@ only ~19 ms was the pivot search itself.  Storing the panel TRANSPOSED —
 — turns every per-column op into a native lane-reduction/lane-broadcast
 (pivot row extraction is a cross-lane masked sum to ``(BM, pw, 1)``,
 multiplier broadcast rides the sublane dim) and cuts the kernel 62.8 →
-19.5 ms, 3.2×.  The remaining per-column chain (~2.3 µs·col⁻¹ per
-24-matrix block) is the argmax + swap dependency chain; it makes this the
-FASTEST pivoted direct inversion here — ahead of the rank-1 Gauss-Jordan
-kernel (44 ms), whose per-column body pays the same relayout tax this
-kernel no longer does.
+19.5 ms, 3.2× (15.8 ms after the shared triangular-inverse body also
+went relayout-free).  The remaining per-column chain is the argmax +
+swap dependency; same-session ordering of the pivoted direct paths is
+now rank-1 swap-free GJ 14.1 ms ≲ this kernel 15.8 ms ≪ XLA expander
+99 ms — GJ keeps a slight edge (no panel scaffolding at all), this
+kernel is the LAPACK-semantics pick (getrf pivot order, compact LU,
+getri substitutions) at ~6× the XLA expander.
 
 Mosaic constraints honored throughout: no dynamic lane-dim indexing
 (one-hot lane reductions / static panel slices), no bool 3-D vectors
