@@ -141,3 +141,33 @@ def print_device_info(stream: TextIO = None) -> None:
             lim = stats.get("bytes_limit")
             if lim:
                 print(f"  HBM bytes_limit: {lim}", file=stream)
+
+
+def write_errors_companion(csv_path: str, out_path: str = None) -> str:
+    """Write the reference's separate ``*-errors.txt`` companion file.
+
+    The reference ships runtime+error pairs in their own file
+    (``/root/reference/results/inverse-bench-errors.txt``: ``numMatrices
+    n dups name total_ms avg_error``) next to the per-rep timer CSV; our
+    main CSV embeds the error as its last column, so the companion is
+    derived: ``numMatrices n numReps name total_ms avg_error`` — one row
+    per benchmark, same leading-triple + name keys, directly consumable
+    by the reference's error-bar tooling.
+    """
+    import os
+
+    if out_path is None:
+        root, ext = os.path.splitext(csv_path)
+        out_path = f"{root}-errors{ext or '.txt'}"
+    rows = []
+    with open(csv_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 6:
+                continue  # phase-log or malformed line
+            batch, n, reps, name = parts[0], parts[1], parts[2], parts[3]
+            total_ms, err = parts[4], parts[-1]
+            rows.append(f"{batch} {n} {reps} {name} {total_ms} {err}\n")
+    with open(out_path, "w") as f:
+        f.writelines(rows)
+    return out_path
