@@ -44,6 +44,16 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="append CSV rows here (default stdout)")
     p.add_argument("--algorithms", nargs="+", default=None)
     p.add_argument("--method", default="solve")
+    p.add_argument("--progress", default=None, metavar="FILE",
+                   help="resumable mode: skip (dir, dup) configs recorded in "
+                        "FILE, append each completed config to it.  Use with "
+                        "--budget-s to run the sweep as bounded foreground "
+                        "chunks (the dev-tunnel TPU is unreachable from "
+                        "background processes — see the verify recipe).")
+    p.add_argument("--budget-s", type=float, default=None,
+                   help="stop starting new configs after this many seconds "
+                        "(finishes the in-flight config; exits 3 if work "
+                        "remains so callers can loop)")
     args = p.parse_args(argv)
 
     from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
@@ -62,10 +72,24 @@ def main(argv=None) -> int:
         while dups[-1] * 2 <= args.max_dups:
             dups.append(dups[-1] * 2)
 
+    import time
+
+    done = set()
+    if args.progress and os.path.exists(args.progress):
+        done = {ln.strip() for ln in open(args.progress) if ln.strip()}
+    t0 = time.time()
+    out_of_budget = False
+
     stream = open(args.out, "a") if args.out else sys.stdout
     try:
         for d in dirs:
             for dup in dups:
+                key = f"{os.path.basename(d)}:{dup}"
+                if key in done:
+                    continue
+                if args.budget_s is not None and time.time() - t0 > args.budget_s:
+                    out_of_budget = True
+                    break
                 if args.kind == "inverse":
                     from cuda_matrix_inversion_tpu.bench.inverse_bench import (
                         DEFAULT_ALGORITHMS,
@@ -81,9 +105,18 @@ def main(argv=None) -> int:
                     run_bench(d, args.reps, dup, csv=True, method=args.method,
                               stream=stream)
                 stream.flush()
+                if args.progress:
+                    with open(args.progress, "a") as pf:
+                        pf.write(key + "\n")
+            if out_of_budget:
+                break
     finally:
         if args.out:
             stream.close()
+    if out_of_budget:
+        print("budget exhausted, configs remain (rerun to resume)",
+              file=sys.stderr)
+        return 3
     if args.out:
         # reference results/ convention: a separate *-errors.txt companion
         # holding one (runtime, error) row per benchmark

@@ -113,6 +113,34 @@ def test_sweep_cli(fixture_root, tmp_path, capsys):
     assert {r.n for r in rows} == {8, 16}
 
 
+def test_sweep_resumable_chunks_and_errors_companion(fixture_root, tmp_path):
+    # --progress/--budget-s: the foreground-chunk mode the dev tunnel
+    # requires (TPU unreachable from background processes); --budget-s 0
+    # completes zero configs and exits 3, then a full-budget rerun picks
+    # up where the progress file left off, skipping completed configs.
+    from cuda_matrix_inversion_tpu.bench import sweep
+
+    out = tmp_path / "rows.txt"
+    prog = tmp_path / "progress.txt"
+    base = ["inverse", fixture_root, "--reps", "1", "--max-dups", "2",
+            "--algorithms", "lu", "--out", str(out),
+            "--progress", str(prog)]
+    assert sweep.main(base + ["--budget-s", "0"]) == 3
+    assert not out.read_text()
+    assert sweep.main(base) == 0
+    rows = plots.parse_bench_file(str(out))
+    assert len(rows) == 4  # 2 dims x 2 dups x 1 algorithm
+    assert len(prog.read_text().split()) == 4
+    # rerun with everything recorded: no duplicate rows appended
+    assert sweep.main(base) == 0
+    assert len(plots.parse_bench_file(str(out))) == 4
+    # the reference's separate errors-file convention ships alongside
+    comp = tmp_path / "rows-errors.txt"
+    assert comp.exists()
+    lines = [ln.split() for ln in comp.read_text().splitlines()]
+    assert len(lines) == 4 and all(len(p) == 6 for p in lines)
+
+
 def test_membench_runs():
     from cuda_matrix_inversion_tpu.bench import membench
 
