@@ -167,14 +167,14 @@ def test_native_gp_empty_batch():
 
 def test_engine_512_bucket(rng):
     # README advertises 8x8..512x512 — the engine's dim buckets cover it.
-    # The general-matrix lu route carries the documented ~1e-3 fp32
-    # residual at this n (README "Dimension range"); the SPD entries hold
-    # 1e-4 via the Schur recursion (tests/test_schur.py).
+    # r2: the general-matrix lu route now polishes past n=192 (one Newton
+    # residual step, ops/xla.py::inverse_lu), so the project-wide 1e-4
+    # gate holds here too, not just on the SPD (Schur) entries.
     eng = InversionEngine(algorithm="lu")
     a = make_spd_batch(2, 300, rng).astype(np.float32)
     out = eng.inverse(a)
     err = np.abs(a.astype(np.float64) @ out - np.eye(300)).sum(-1).max()
-    assert err < 1e-3  # larger n, fp32
+    assert err < 1e-4
 
 
 def test_engine_warm_dim_buckets(rng):

@@ -103,3 +103,22 @@ def test_solve_batched_exported():
     import cuda_matrix_inversion_tpu as cmi
 
     assert callable(cmi.solve_batched) and callable(cmi.inverse_batched)
+
+
+def test_inverse_lu_large_n_polished_gate(rng):
+    # r2: the raw fp32 LU expander drifts to ~1e-3 by n~512; the Newton
+    # residual-polish step in ops/xla.py::inverse_lu restores the 1e-4
+    # gate on the general-matrix large-n route (nonsymmetric input).
+    from cuda_matrix_inversion_tpu.ops import xla
+
+    n = 384
+    a = rng.standard_normal((2, n, n)).astype(np.float32)
+    a += n * np.eye(n, dtype=np.float32)
+    a[:, : n // 2, :] *= 0.03  # uneven row scaling: nonsymmetric, worse kappa
+    x = np.asarray(xla.inverse_lu(jnp.asarray(a)))
+    err = np.abs(a.astype(np.float64) @ x - np.eye(n)).sum(-1).max()
+    assert err < 1e-4
+    # singular input still propagates non-finite through the polish
+    s = np.ones((1, 256, 256), np.float32)
+    xs = np.asarray(xla.inverse_lu(jnp.asarray(s)))
+    assert not np.isfinite(xs).all()
