@@ -39,6 +39,18 @@ def test_pallas_inverse_blocked_path(n, rng):
     assert _identity_err_inf(a, inv) < 1e-4
 
 
+def test_pallas_cholesky_block_escape_hatch(rng):
+    # n > 128 routes through the Schur recursion by default (the direct
+    # kernel is scoped-VMEM-marginal there); an explicit block= keeps the
+    # direct kernel — both must hold the gate and agree
+    a = make_spd_batch(2, 160, rng).astype(np.float32)
+    via_schur = np.asarray(pc.inverse_cholesky(a))
+    direct = np.asarray(pc.inverse_cholesky(a, block=8))
+    assert _identity_err_inf(a, via_schur) < 1e-4
+    assert _identity_err_inf(a, direct) < 1e-4
+    np.testing.assert_allclose(via_schur, direct, atol=5e-5)
+
+
 def test_pallas_batch_padding(rng):
     # batch not a multiple of the block size
     a = make_spd_batch(11, 16, rng).astype(np.float32)
