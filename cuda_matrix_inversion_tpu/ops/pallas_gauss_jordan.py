@@ -291,7 +291,8 @@ def inverse_gauss_jordan_blocked(a: jnp.ndarray, block: int | None = None,
 
     Measured on chip (r2, 100×128): gate 1.05e-06 (was ~1e-4 — the
     explicit pivot-block inverse was the culprit), compile ~5 s (was
-    minutes), 5.9 ms vs the rank-1 kernel's 2.9 ms.  GJ touches the full
+    minutes), 5.9 ms vs the rank-1 kernel's 2.9 ms (0.96 ms after the
+    swap-free transposed rewrite of the rank-1 kernel).  GJ touches the full
     augmented row span every panel — 2× LU's update work by construction
     — so the rank-1 kernel stays the speed pick for pivoted one-launch
     inversion; this variant is the gate-clean MXU-blocked formulation.
