@@ -416,7 +416,8 @@ def inverse_newton_schulz_pallas(
 
             base = functools.partial(
                 inverse_newton_schulz_pallas, lo_iters=lo_iters,
-                hi_iters=hi_iters, interpret=interpret, init="spd")
+                hi_iters=hi_iters, interpret=interpret, init="spd",
+                polish_highest=polish_highest, mu_min=mu_min)
             return spd_blocked_inverse(a, base, max_base_n=224)
         # general (possibly nonsymmetric) matrices: adaptive XLA path
         return inverse_newton_schulz(a, init=init)

@@ -66,6 +66,23 @@ def test_newton_schulz_spd_serves_past_224(rng):
     assert _gate(a, inv) < 1e-4
 
 
+def test_newton_schulz_spd10_schur_route_inherits_schedule(rng):
+    # ADVICE r2 (high): the n>224 Schur base partial dropped mu_min /
+    # polish_highest, so the spd10 lane (lo=4, calibrated for mu_min=0.03)
+    # ran scaled-round coefficients computed for mu_min=0.01 past the
+    # VMEM ceiling — gate 2.1e-4 at kappa=8 in fp32.  Pin the fix: the
+    # registered spd10 entry must pass the gate at n=240, kappa=8, where
+    # spd_blocked_inverse routes through the custom-schedule base.
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    q, _ = np.linalg.qr(rng.standard_normal((1, 240, 240)))
+    lam = np.logspace(0, -np.log10(8.0), 240)
+    a = ((q * lam[None, None, :]) @ np.transpose(q, (0, 2, 1))).astype(
+        np.float32)
+    fn = get_inverse_algorithm("newton_schulz_spd10_pallas")
+    assert _gate(a, np.asarray(fn(a))) < 1e-4
+
+
 def test_gp_fused_past_256(rng):
     n, batch = 264, 1
     b = make_spd_batch(batch, n, rng).astype(np.float32)
