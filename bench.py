@@ -1,107 +1,223 @@
 """Headline benchmark: 100× 128×128 fp32 batched inversion on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — and is
+built so that a line appears EVERY time (VERDICT r2 weak #1: round 2's
+driver run hit the timeout mid-compile and shipped nothing):
+
+* candidates are ordered fastest-known-first, so the headline algorithm's
+  number exists after the first ~1 minute;
+* a wall-clock budget (env ``BENCH_BUDGET_S``, default 420 s — well under
+  the driver timeout) is checked between candidates AND between the
+  compile/gate/timing stages of each candidate;
+* the best-so-far JSON is flushed from a ``finally``, from a SIGTERM
+  handler, AND from a deadline-guard thread that fires even if the main
+  thread is wedged inside a C call on a dead tunnel (a Python signal
+  handler alone cannot interrupt that — measured failure mode of this
+  environment);
+* once a gate-passing result exists and half the budget is spent, the
+  remaining candidates are skipped.
 
 Baseline (BASELINE.md §1): the reference's best GPU path — cuBLAS batched
 LU on a GTX 690 — inverts 100× 128×128 in 14.079 ms ≈ 7,103 inversions/s
 (transfers included over ~12 GB/s PCIe; `results/inverse-bench-errors.txt:6`).
 Here batches are HBM-resident per the BASELINE.json north star, timing is
-kernel time with a sync, and the result must pass the accuracy gate
-max ‖AA⁻¹−I‖∞ < 1e-4 fp32 or the run reports value=0.
+dependency-chained slope timing (bench/timing.py), and a result must pass
+the accuracy gate max ‖AA⁻¹−I‖∞ < 1e-4 fp32 to count.
 """
 
 import json
+import os
+import signal
+import sys
+import threading
+import time
 
 import numpy as np
-
 
 # Physical lower bound for one batched inversion: the kernel must at
 # minimum read A and write A⁻¹ through HBM.  v5e HBM peak is ~819 GB/s;
 # a slope sample implying more than that is tunnel-timing noise, not a
-# measurement of the chip, and is rejected (VERDICT r1 weak #5: pin the
-# headline with a variance guard instead of quoting noise-floor samples).
+# measurement of the chip, and is rejected (VERDICT r1 weak #5).
 _HBM_PEAK_BYTES_PER_S = 819e9
+
+_BASELINE_MS = 14.079  # reference cuBLAS LU, GTX 690
+_METRIC = "batched_inversions_per_sec_100x128x128_fp32"
+
+# Fastest-known-first (r2 chip sessions: spd10 0.050-0.060 ms, spd 0.085,
+# pan 0.14, cholesky_pallas 0.45, gauss 0.96, lu_pallas 1.2, XLA ~2-15).
+# Unlisted registry entries run last; the adaptive NS pair is excluded —
+# strictly dominated here and each costs extra multi-minute while-loop
+# chain compiles.
+_ORDER = [
+    "newton_schulz_spd10_pallas",
+    "newton_schulz_spd_pallas",
+    "newton_schulz_pallas",
+    "cholesky_pallas",
+    "gauss_pallas",
+    "lu_pallas",
+    "cholesky",
+    "lu",
+]
+_EXCLUDE = {"newton_schulz", "newton_schulz_spd"}
 
 
 def _hbm_floor_ms(a: np.ndarray) -> float:
     return 2 * a.nbytes / _HBM_PEAK_BYTES_PER_S * 1e3  # read A + write X
 
 
-def _best_inversion_ms(a_host: np.ndarray):
+class _Emitter:
+    """Prints the one JSON line exactly once, from whichever path gets
+    there first (main finally / SIGTERM / deadline-guard thread)."""
+
+    def __init__(self, floor_ms: float):
+        self.lock = threading.Lock()
+        self.emitted = False
+        self.best = None  # dict with name/ms/spread/rejected
+        self.floor_ms = floor_ms
+
+    def update(self, name, ms, spread, rejected, total):
+        with self.lock:
+            if self.best is None or ms < self.best["ms"]:
+                self.best = {"name": name, "ms": ms, "spread": spread,
+                             "rejected": rejected, "total": total}
+
+    def emit(self, note: str = None) -> int:
+        with self.lock:
+            if self.emitted:
+                return 0 if self.best else 1
+            self.emitted = True
+            best = self.best
+        if best is None:
+            line = {"metric": _METRIC, "value": 0.0, "unit": "inversions/s",
+                    "vs_baseline": 0.0,
+                    "note": note or "no algorithm passed the 1e-4 gate "
+                                    "within the budget"}
+            print(json.dumps(line), flush=True)
+            return 1
+        per_sec = 100.0 / (best["ms"] / 1e3)
+        detail = {"algorithm": best["name"],
+                  "batch_ms": round(best["ms"], 4),
+                  "sample_spread_ms": [round(best["spread"][0], 4),
+                                       round(best["spread"][1], 4)],
+                  # ADVICE r2: surface how many of the slope samples the
+                  # HBM-floor variance guard discarded as tunnel noise
+                  "samples_rejected": best["rejected"],
+                  "samples_total": best["total"],
+                  "hbm_floor_ms": round(self.floor_ms, 4)}
+        if note:
+            detail["note"] = note
+        print(json.dumps({"metric": _METRIC, "value": round(per_sec, 1),
+                          "unit": "inversions/s",
+                          "vs_baseline": round(per_sec / (100.0 / (_BASELINE_MS / 1e3)), 2),
+                          "detail": detail}), flush=True)
+        return 0
+
+
+def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
+         t0: float, budget_s: float) -> None:
     import jax
 
-    from cuda_matrix_inversion_tpu.bench.timing import chained_op_samples_robust
+    from cuda_matrix_inversion_tpu.bench.timing import chained_op_samples
     from cuda_matrix_inversion_tpu.ops.registry import (
         get_inverse_algorithm,
         list_inverse_algorithms,
     )
 
-    # production algorithms only — gauss_blocked_pallas is experimental
-    # and the adaptive newton_schulz_spd is strictly dominated by its
-    # _pallas sibling on this SPD input (timing it costs extra
-    # multi-minute remote compiles of chained while_loop closures)
-    candidates = [n for n in list_inverse_algorithms(cpu=False)
-                  if "blocked" not in n and n != "newton_schulz_spd"]
-    floor_ms = _hbm_floor_ms(a_host)
-    best = (None, float("inf"), None, None)
-    for name in candidates:
+    names = [n for n in list_inverse_algorithms(cpu=False)
+             if n not in _EXCLUDE]
+    names.sort(key=lambda n: (_ORDER.index(n) if n in _ORDER else len(_ORDER), n))
+    floor_ms = emitter.floor_ms
+
+    for name in names:
+        now = time.monotonic()
+        if now >= deadline:
+            break
+        if emitter.best is not None and (now - t0) > budget_s / 2:
+            break  # good-enough stop: a gate-passing headline exists
         try:
             fn = get_inverse_algorithm(name)
-            # dependency-chained slope timing — see bench/timing.py for why
-            # plain block_until_ready cannot be trusted here.  Tunnel
-            # jitter can make short-chain slopes non-positive; retry with
-            # longer chains and reject the candidate if still unphysical.
-            samples = np.asarray(chained_op_samples_robust(
-                fn, a_host, iters=16, trials=5, retry_iters=64)) * 1e3
-            samples = samples[samples >= floor_ms]  # variance guard
-            if samples.size == 0:
+            # 1. accuracy gate first (one compile; skips timing on failure)
+            inv = np.asarray(
+                jax.device_get(jax.jit(fn)(jax.device_put(a_host))),
+                dtype=np.float64)
+            resid = np.abs(a_host.astype(np.float64) @ inv
+                           - np.eye(a_host.shape[-1]))
+            if resid.sum(axis=-1).max() >= 1e-4:
                 continue
-            med = float(np.median(samples))
-            # accuracy gate per algorithm
-            inv = np.asarray(jax.device_get(jax.jit(fn)(jax.device_put(a_host))),
-                             dtype=np.float64)
-            resid = np.abs(a_host.astype(np.float64) @ inv - np.eye(a_host.shape[-1]))
-            err = resid.sum(axis=-1).max()
-            if err < 1e-4 and med < best[1]:
-                spread = (float(samples.min()), float(samples.max()))
-                best = (name, med, inv, spread)
-        except Exception:
+            if time.monotonic() >= deadline:
+                break
+            # 2. dependency-chained slope timing (bench/timing.py — plain
+            # block_until_ready is untrustworthy through the tunnel)
+            samples = np.asarray(
+                chained_op_samples(fn, a_host, iters=16, trials=5)) * 1e3
+            if float(np.median(samples)) <= 0.0 \
+                    and time.monotonic() < deadline:
+                # tunnel jitter can sink short-chain slopes; one longer try
+                samples = np.asarray(
+                    chained_op_samples(fn, a_host, iters=64, trials=5)) * 1e3
+            total = int(samples.size)
+            kept = samples[samples >= floor_ms]  # variance guard
+            if kept.size == 0:
+                continue
+            emitter.update(name, float(np.median(kept)),
+                           (float(kept.min()), float(kept.max())),
+                           total - int(kept.size), total)
+        except Exception as e:
+            print(f"bench: {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             continue
-    return best
 
 
 def main() -> int:
-    from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 420))
+    t0 = time.monotonic()
+    deadline = t0 + budget_s
 
     rng = np.random.default_rng(2026)
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+
     a = make_spd_batch(100, 128, rng).astype(np.float32)
+    emitter = _Emitter(_hbm_floor_ms(a))
 
-    name, ms, _, spread = _best_inversion_ms(a)
-    if name is None:
-        print(json.dumps({
-            "metric": "batched_inversions_per_sec_100x128x128_fp32",
-            "value": 0.0,
-            "unit": "inversions/s",
-            "vs_baseline": 0.0,
-            "note": "no algorithm passed the 1e-4 accuracy gate",
-        }))
-        return 1
+    def on_term(signum, frame):
+        emitter.emit(note="terminated by signal; best-so-far")
+        os._exit(0 if emitter.best else 1)
 
-    inversions_per_sec = 100.0 / (ms / 1e3)
-    baseline = 100.0 / (14.079 / 1e3)  # reference cuBLAS LU, GTX 690
-    print(json.dumps({
-        "metric": "batched_inversions_per_sec_100x128x128_fp32",
-        "value": round(inversions_per_sec, 1),
-        "unit": "inversions/s",
-        "vs_baseline": round(inversions_per_sec / baseline, 2),
-        "detail": {"algorithm": name, "batch_ms": round(ms, 4),
-                   "sample_spread_ms": [round(spread[0], 4), round(spread[1], 4)],
-                   "hbm_floor_ms": round(_hbm_floor_ms(a), 4)},
-    }))
-    return 0
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    def guard():
+        # fires even when the main thread is wedged inside a C call on a
+        # dead tunnel; small grace so the normal path usually wins
+        time.sleep(budget_s + 30)
+        emitter.emit(note="deadline guard fired (main thread stuck)")
+        os._exit(0 if emitter.best else 1)
+
+    threading.Thread(target=guard, daemon=True, name="bench-deadline").start()
+
+    rc = 1
+    try:
+        from cuda_matrix_inversion_tpu.utils.backend import (
+            first_contact_watchdog,
+            pin_backend,
+        )
+        from cuda_matrix_inversion_tpu.utils.cache import (
+            enable_compilation_cache,
+        )
+
+        pin_backend(os.environ.get("BENCH_BACKEND", "auto"))
+        enable_compilation_cache()
+        import jax
+
+        with first_contact_watchdog(
+                what="jax.devices()",
+                on_timeout=lambda: emitter.emit(note="tunnel wedged at "
+                                                     "first device contact")):
+            jax.devices()
+        _run(emitter, a, deadline, t0, budget_s)
+    finally:
+        rc = emitter.emit()
+    return rc
 
 
 if __name__ == "__main__":
