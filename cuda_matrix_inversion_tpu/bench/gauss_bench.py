@@ -248,28 +248,43 @@ def main(argv=None) -> int:
                    choices=["auto", "scipy", "native"],
                    help="CPU rows: native = C++/LAPACK/OpenMP gauss_cpu.c "
                         "equivalent; auto = native when built, else scipy")
+    from cuda_matrix_inversion_tpu.utils.backend import (
+        backend_argument,
+        pin_backend,
+        touch_devices,
+    )
+
+    backend_argument(p)
     args = p.parse_args(argv)
 
     from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
 
+    pin_backend(args.backend)
     enable_compilation_cache()
 
     if args.dtype == "float64":
         from cuda_matrix_inversion_tpu.types import enable_x64
 
         enable_x64()
-    run_bench(
-        args.test_folder,
-        args.num_reps,
-        args.num_duplicates,
-        csv=args.csv,
-        method=args.method,
-        stages=args.stages,
-        skip_cpu=args.skip_cpu,
-        dtype=np.dtype(args.dtype),
-        transfers=args.transfers,
-        cpu_oracle=args.cpu_oracle,
-    )
+    from cuda_matrix_inversion_tpu.utils.errors import EnsureError
+
+    try:
+        touch_devices()  # bounded-time first device contact (tunnel watchdog)
+        run_bench(
+            args.test_folder,
+            args.num_reps,
+            args.num_duplicates,
+            csv=args.csv,
+            method=args.method,
+            stages=args.stages,
+            skip_cpu=args.skip_cpu,
+            dtype=np.dtype(args.dtype),
+            transfers=args.transfers,
+            cpu_oracle=args.cpu_oracle,
+        )
+    except EnsureError as e:
+        print(f"gauss_bench: {e}", file=sys.stderr)
+        return 1
     return 0
 
 

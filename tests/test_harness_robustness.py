@@ -1,0 +1,242 @@
+"""Round-3 harness-robustness surfaces (VERDICT r2 weak #1-#4).
+
+Covers: loud failure on unknown algorithm names + comma lists
+(``inverse_bench.resolve_algorithms``), the sweep-CSV outlier audit
+(``reporting.audit_outliers``), the backend pin / first-contact watchdog
+(``utils.backend``), and bench.py's emit-exactly-once best-so-far logic.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cuda_matrix_inversion_tpu.bench.inverse_bench import (
+    OPTIONAL_ALGORITHMS,
+    resolve_algorithms,
+)
+from cuda_matrix_inversion_tpu.bench.reporting import (
+    audit_outliers,
+    parse_csv_rows,
+)
+from cuda_matrix_inversion_tpu.utils.errors import EnsureError
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --- resolve_algorithms (weak #2: the silent empty benchmark) ---------
+
+def test_resolve_splits_comma_lists():
+    avail = {"lu", "lu_cpu", "gauss_pallas"}
+    assert resolve_algorithms(["lu_cpu,lu", "gauss_pallas"], avail) == [
+        "lu_cpu", "lu", "gauss_pallas"]
+
+
+def test_resolve_fails_loudly_on_typo():
+    with pytest.raises(EnsureError, match="gauss_palas"):
+        resolve_algorithms(["lu_cpu,lu,gauss_palas"], {"lu", "lu_cpu"})
+
+
+def test_resolve_silently_skips_only_unbuilt_native_rows():
+    # the documented exception: optional C++ oracle rows may be absent
+    avail = {"lu"}
+    names = ["lu"] + sorted(OPTIONAL_ALGORITHMS)
+    assert resolve_algorithms(names, avail) == ["lu"]
+    # ...but an unknown NON-optional name among them still fails
+    with pytest.raises(EnsureError):
+        resolve_algorithms(names + ["nope"], avail)
+
+
+def test_cli_exits_nonzero_on_unknown_algorithm(tmp_path):
+    # the exact reproduction from VERDICT r2 weak #2, now exit 1 + message
+    from cuda_matrix_inversion_tpu.bench import inverse_bench
+
+    rc = inverse_bench.main([
+        os.path.join(REPO_ROOT, "tests", "hand_fixtures"), "1", "1", "-csv",
+        "--backend", "cpu", "--algorithms", "lu_cpu,lu,gauss_palas"])
+    assert rc == 1
+
+
+# --- audit_outliers (weak #4: the published 10x row) -------------------
+
+def _write_csv(path, rows):
+    with open(path, "w") as f:
+        for num, n, name, mean in rows:
+            total = mean * 10
+            f.write(f"{num} {n} 10 {name} {total:e} {mean:e} 1e-3 1e-6\n")
+
+
+def test_audit_flags_planted_outlier(tmp_path):
+    p = tmp_path / "sweep.txt"
+    # per-matrix time flat at 1e-3 ms except the planted 200-batch row
+    _write_csv(p, [(100, 8, "alg", 0.1), (200, 8, "alg", 4.0),
+                   (400, 8, "alg", 0.4), (1600, 8, "alg", 1.6)])
+    flags = audit_outliers(str(p), k=3.0)
+    assert len(flags) == 1
+    assert flags[0]["num_matrices"] == 200 and flags[0]["ratio"] > 10
+
+
+def test_audit_clean_sweep_not_flagged(tmp_path):
+    p = tmp_path / "sweep.txt"
+    # realistic: per-matrix time mildly DECREASES with batch (amortization)
+    _write_csv(p, [(100, 8, "alg", 0.12), (200, 8, "alg", 0.22),
+                   (400, 8, "alg", 0.40), (1600, 8, "alg", 1.55),
+                   (100, 8, "other", 0.5), (400, 8, "other", 1.9)])
+    assert audit_outliers(str(p), k=3.0) == []
+
+
+def test_audit_groups_by_n_and_skips_singletons(tmp_path):
+    p = tmp_path / "sweep.txt"
+    # large n is legitimately slower per matrix — must not cross-compare
+    _write_csv(p, [(100, 8, "alg", 0.1), (400, 8, "alg", 0.4),
+                   (100, 128, "alg", 40.0)])
+    assert audit_outliers(str(p), k=3.0) == []
+
+
+def test_parse_csv_rows_skips_phase_lines(tmp_path):
+    p = tmp_path / "mixed.txt"
+    with open(p, "w") as f:
+        f.write("calculate_mean_gpu_inv,100,128,10.3,10300000\n")  # phase log
+        f.write("100 8 10 alg 1.0e+00 1.0e-01 1e-3 1e-6\n")
+    rows = parse_csv_rows(str(p))
+    assert len(rows) == 1 and rows[0]["mean_ms"] == 0.1
+
+
+# --- backend pin + watchdog (weak #3: the indefinite hang) -------------
+
+def test_pin_backend_auto_is_noop():
+    from cuda_matrix_inversion_tpu.utils.backend import pin_backend
+
+    pin_backend("auto")  # must not touch jax config (tests already pin cpu)
+    pin_backend(None)
+
+
+def test_watchdog_fast_path_no_fire():
+    from cuda_matrix_inversion_tpu.utils.backend import (
+        first_contact_watchdog,
+    )
+
+    with first_contact_watchdog(timeout_s=30.0):
+        x = 1 + 1
+    assert x == 2
+
+
+def test_watchdog_kills_hung_process():
+    # a wedged first contact must end the process with the distinct code
+    code = (
+        "from cuda_matrix_inversion_tpu.utils.backend import "
+        "first_contact_watchdog\n"
+        "import time\n"
+        "with first_contact_watchdog(timeout_s=1.0, what='test hang'):\n"
+        "    time.sleep(30)\n")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=25)
+    assert r.returncode == 17
+    assert "test hang" in r.stderr
+
+
+# --- bench.py emitter (weak #1: no JSON line shipped) -------------------
+
+def _load_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", os.path.join(REPO_ROOT, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_emitter_emits_exactly_once(capsys):
+    bench = _load_bench()
+    e = bench._Emitter(floor_ms=0.016)
+    e.update("slow", 2.0, (1.9, 2.1), 0, 5)
+    e.update("fast", 0.05, (0.04, 0.06), 2, 5)
+    e.update("mid", 0.8, (0.7, 0.9), 1, 5)   # must not displace best
+    assert e.emit() == 0
+    assert e.emit() == 0  # second call is a no-op
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    line = json.loads(out[0])
+    assert line["detail"]["algorithm"] == "fast"
+    assert line["detail"]["samples_rejected"] == 2
+    assert line["detail"]["samples_total"] == 5
+    assert line["value"] == pytest.approx(100.0 / 0.05 * 1e3, rel=1e-3)
+    assert line["vs_baseline"] > 100
+
+
+def test_emitter_no_result_is_valid_json(capsys):
+    bench = _load_bench()
+    e = bench._Emitter(floor_ms=0.016)
+    assert e.emit() == 1
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["value"] == 0.0 and "note" in line
+
+
+# --- chip-test ledger plumbing (weak #6: undated on-chip claims) -------
+
+def test_chip_test_ledger_plumbing(tmp_path):
+    from cuda_matrix_inversion_tpu.bench import chip_tests
+
+    ledger = tmp_path / "chip-tests.txt"
+    progress = tmp_path / "progress.txt"
+    calls = []
+    checks = [
+        ("ok_check", lambda: (calls.append("ok") or True, "err=1e-6")),
+        ("fail_check", lambda: (False, "err=2e-4")),
+        ("boom_check", lambda: 1 / 0),
+    ]
+    rc = chip_tests.run(str(ledger), str(progress), budget_s=None,
+                        checks=checks, require_tpu=False,
+                        stamp="2026-08-18T00:00:00")
+    assert rc == 1  # failures present
+    lines = open(ledger).read().splitlines()
+    assert len(lines) == 3
+    assert "ok_check PASS" in lines[0]
+    assert "fail_check FAIL" in lines[1]
+    assert "boom_check FAIL EXCEPTION" in lines[2]
+    # resumable: a second run skips everything already recorded
+    rc2 = chip_tests.run(str(ledger), str(progress), budget_s=None,
+                         checks=checks, require_tpu=False,
+                         stamp="2026-08-18T00:00:01")
+    assert rc2 == 0 and calls == ["ok"]
+    assert len(open(ledger).read().splitlines()) == 3
+
+
+def test_chip_test_budget_exhaustion_returns_3(tmp_path):
+    from cuda_matrix_inversion_tpu.bench import chip_tests
+
+    ledger = tmp_path / "ledger.txt"
+    checks = [("a", lambda: (True, "x")), ("b", lambda: (True, "x"))]
+    rc = chip_tests.run(str(ledger), None, budget_s=-1.0, checks=checks,
+                        require_tpu=False, stamp="t")
+    assert rc == 3
+    assert not os.path.exists(ledger) or open(ledger).read() == ""
+
+
+def test_chip_test_refuses_cpu_backend(tmp_path):
+    from cuda_matrix_inversion_tpu.bench import chip_tests
+
+    rc = chip_tests.run(str(tmp_path / "l.txt"), None, None,
+                        checks=[], require_tpu=True)
+    assert rc == 2  # tests force the CPU backend
+
+
+def test_bench_sigterm_yields_valid_json_line():
+    # the round-2 failure mode, end-to-end: kill mid-run, parse stdout
+    import signal
+    import time
+
+    env = dict(os.environ, BENCH_BACKEND="cpu", BENCH_BUDGET_S="600")
+    proc = subprocess.Popen([sys.executable, os.path.join(REPO_ROOT, "bench.py")],
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            env=env, cwd=REPO_ROOT)
+    time.sleep(8)  # mid-startup/compile
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=30)
+    line = json.loads(out.decode().strip().splitlines()[-1])
+    assert line["metric"].startswith("batched_inversions_per_sec")
+    assert "value" in line and "vs_baseline" in line
