@@ -37,7 +37,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_matrix_inversion_tpu.ops.pallas_common import (
-    block_batch,
     default_interpret,
     pad_batch,
     pad_matrix_dim,
@@ -120,93 +119,6 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref):
                                contract=((1,), (1,)))
 
 
-def _blocked_gj_kernel(pw: int, a_ref, out_ref, work_ref, pcopy_ref,
-                       tri_ref, tinv_ref, tnat_ref, pidx_ref):
-    """Blocked Gauss-Jordan with partial pivoting — LU-style panels.
-
-    Round-2 rewrite (VERDICT r1 weak #3): the old update
-    ``work' = (I + C·S)·work_swapped`` with an *explicit* pivot-block
-    inverse ``C = (E − B)·B_piv⁻¹`` amplified rounding to ~1e-4 at n=128,
-    and its statically-unrolled per-column pivot search compiled for
-    minutes.  Now each panel reuses the machinery that already works in
-    :mod:`.pallas_lu`:
-
-    1. ``_panel_factor_body`` (a ``fori_loop``, not an unroll) pivots and
-       LU-factors the panel copy, recording the permutation as an index
-       vector; the permutation is applied to the augmented work once per
-       panel as a one-hot MXU matmul (batched laswp).
-    2. The pivot rows are *solved*, never multiplied by a general
-       inverse: R = U11⁻¹ (L11⁻¹ W_piv) via the stacked triangular
-       substitution inverses (both computed in one vectorized pass over a
-       (2BM, pw, pw) stack — ``pallas_lu``'s seeding trick).
-    3. Full-height elimination is one rank-pw MXU update:
-       ``work −= B_offpanel · R``; the pivot rows become R.
-    """
-    bm, n, _ = a_ref.shape
-    w2 = 2 * n
-    np_ = n // pw
-
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    eye = (row_i == col_i).astype(jnp.float32)
-    row_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 0)
-    col_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 1)
-    eye_pw = (row_pw == col_pw).astype(jnp.float32)
-    row_f2 = row_i.astype(jnp.float32)
-    subrow_n1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
-    from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
-        _triangular_inverse_body,
-    )
-    from cuda_matrix_inversion_tpu.ops.pallas_lu import _panel_factor_body
-
-    work_ref[:, :, 0:n] = a_ref[:, :, :]
-    work_ref[:, :, n:w2] = jnp.broadcast_to(eye, (bm, n, n))
-
-    for p in range(np_):
-        k0 = p * pw
-        k1 = k0 + pw
-        # -- 1. pivot + LU-factor the panel copy (fori_loop inside) --
-        pcopy_ref[:, :, :] = work_ref[:, :, k0:k1]
-        _panel_factor_body(pw, k0, n, pcopy_ref, pidx_ref)
-
-        # stacked triangular inverses of the panel diag block:
-        # slots [0:BM] → L11⁻¹; slots [BM:2BM] → (U11⁻¹)ᵀ
-        blk = pcopy_ref[:, k0:k1, :]  # (BM, pw, pw) compact LU of B_piv
-        for b in range(bm):
-            tri_ref[b, :, :] = blk[b, :, :].T
-        tri_ref[0:bm, :, :] = (jnp.where(row_pw < col_pw, tri_ref[0:bm, :, :],
-                                         0.0)
-                               + jnp.broadcast_to(eye_pw, (bm, pw, pw)))
-        tri_ref[bm:2 * bm, :, :] = jnp.where(row_pw <= col_pw, blk, 0.0)
-        _triangular_inverse_body(pw, tri_ref, tinv_ref, tnat_ref)
-
-        # apply the panel's row permutation to the augmented work as ONE
-        # one-hot matmul per matrix (exact 0/1 arithmetic under HIGHEST)
-        pidxv = pidx_ref[:, :]
-        for b in range(bm):
-            oht = jnp.maximum(0.0, 1.0 - jnp.abs(row_f2 - pidxv[b][None, :]))
-            work_ref[b, :, :] = _mm(oht, work_ref[b, :, :],
-                                    contract=((0,), (0,)))
-
-        # post-swap panel B for the elimination (whole-buffer copy:
-        # lane-offset slices fed straight to the MXU CHECK-crash Mosaic)
-        pcopy_ref[:, :, :] = work_ref[:, :, k0:k1]
-
-        # -- 2+3. R = U11⁻¹ L11⁻¹ W_piv; work −= B_off · R; rows ← R --
-        offmask = ((subrow_n1 < k0) | (subrow_n1 >= k1)).astype(jnp.float32)
-        for b in range(bm):
-            w_piv = work_ref[b, k0:k1, :]               # (pw, 2N) sublanes
-            r = _mm(tinv_ref[b, :, :], w_piv)           # L11⁻¹ W_piv
-            r = _mm(tinv_ref[bm + b, :, :], r,
-                    contract=((0,), (0,)))              # U11⁻¹ (…)
-            b_off = pcopy_ref[b, :, :] * offmask        # zero the pivot rows
-            work_ref[b, :, :] = work_ref[b, :, :] - _mm(b_off, r)
-            work_ref[b, k0:k1, :] = r
-
-    out_ref[:, :, :] = work_ref[:, :, n:w2]
-
-
 def _mm(lhs, rhs, contract=((1,), (0,))):
     return jax.lax.dot_general(
         lhs, rhs,
@@ -278,65 +190,4 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
         ],
         interpret=default_interpret(interpret),
     )(at)
-    return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def inverse_gauss_jordan_blocked(a: jnp.ndarray, block: int | None = None,
-                                 interpret: bool | None = None) -> jnp.ndarray:
-    """Panel-blocked Gauss-Jordan with LU-style panels (see
-    :func:`_blocked_gj_kernel` — round-2 rewrite: fori-loop pivot search,
-    one-hot batched row permutation, triangular-substitution pivot-row
-    solve instead of an explicit pivot-block inverse).
-
-    Measured on chip (r2, 100×128): gate 1.05e-06 (was ~1e-4 — the
-    explicit pivot-block inverse was the culprit), compile ~5 s (was
-    minutes), 5.9 ms vs the rank-1 kernel's 2.9 ms (0.96 ms after the
-    swap-free transposed rewrite of the rank-1 kernel).  GJ touches the full
-    augmented row span every panel — 2× LU's update work by construction
-    — so the rank-1 kernel stays the speed pick for pivoted one-launch
-    inversion; this variant is the gate-clean MXU-blocked formulation.
-    """
-    if a.dtype == jnp.float64 or a.shape[-1] > 192:
-        # same routing rules as the rank-1 kernel: f64 exactness and the
-        # augmented-system VMEM ceiling both go to XLA LU
-        from cuda_matrix_inversion_tpu.ops import xla as _xla
-
-        return _xla.inverse_lu(a)
-    batch = a.shape[0]
-    orig_dtype = a.dtype
-    a = a.astype(jnp.float32)
-    a, n_orig = pad_matrix_dim(a)
-    n = a.shape[-1]
-    pw = None
-    for cand in (32, 16, 8):
-        if n % cand == 0 and n > cand:
-            pw = cand
-            break
-    if pw is None:
-        return inverse_gauss_jordan(a[:, :n_orig, :n_orig], block=block,
-                                    interpret=interpret).astype(orig_dtype)
-
-    bm = block_batch(batch, n, buffers=4) if block is None else block
-    a_p, orig = pad_batch(a, bm)
-    grid = a_p.shape[0] // bm
-
-    out = pl.pallas_call(
-        functools.partial(_blocked_gj_kernel, pw),
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(a_p.shape, jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bm, n, 2 * n), jnp.float32),     # work [A | I]
-            pltpu.VMEM((bm, n, pw), jnp.float32),        # panel copy
-            pltpu.VMEM((2 * bm, pw, pw), jnp.float32),   # tri blocks (L+U)
-            pltpu.VMEM((2 * bm, pw, pw), jnp.float32),   # tri inverses
-            pltpu.VMEM((2 * bm, pw, pw), jnp.float32),   # tri natural-layout
-            pltpu.VMEM((bm, n), jnp.float32),            # panel perm idx
-        ],
-        interpret=default_interpret(interpret),
-    )(a_p)
     return out[:orig, :n_orig, :n_orig].astype(orig_dtype)

@@ -80,9 +80,6 @@ def _populate() -> None:
 
         register_inverse("gauss_pallas", pallas_gauss_jordan.inverse_gauss_jordan,
                          pallas=True)
-        register_inverse("gauss_blocked_pallas",
-                         pallas_gauss_jordan.inverse_gauss_jordan_blocked,
-                         pallas=True)
     except ImportError:
         pass
     try:

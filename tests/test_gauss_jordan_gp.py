@@ -156,12 +156,12 @@ def test_fused_gp_odd_n_padding(rng):
         assert np.abs(np.asarray(var) - vref).max() < 1e-4
 
 
-def test_blocked_gj_f64_and_large_n_route_to_xla(rng):
+def test_gj_f64_routes_to_xla(rng):
     from cuda_matrix_inversion_tpu.ops.pallas_gauss_jordan import (
-        inverse_gauss_jordan_blocked,
+        inverse_gauss_jordan,
     )
 
     a64 = make_spd_batch(2, 16, rng)  # float64
-    inv = np.asarray(inverse_gauss_jordan_blocked(a64))
+    inv = np.asarray(inverse_gauss_jordan(a64))
     assert inv.dtype == np.float64
     assert _identity_err_inf(a64, inv) < 1e-12

@@ -113,16 +113,6 @@ def test_large_n_routes_to_xla(rng):
     assert _identity_err_inf(a, inv) < 1e-4
 
 
-def test_blocked_gauss_jordan_variant(rng):
-    from cuda_matrix_inversion_tpu.ops.pallas_gauss_jordan import (
-        inverse_gauss_jordan_blocked,
-    )
-
-    a = make_spd_batch(4, 64, rng).astype(np.float32)
-    inv = np.asarray(inverse_gauss_jordan_blocked(a))
-    assert _identity_err_inf(a, inv) < 1e-4  # r2 rewrite is gate-clean
-
-
 def test_newton_schulz_pallas_variant(rng):
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
         inverse_newton_schulz_pallas,
