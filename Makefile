@@ -8,7 +8,8 @@ FIXTURES ?= /tmp/cmi_fixtures
 PY ?= python
 
 .PHONY: build test fixtures run-inverse-bench run-gauss-bench \
-        cholesky-demo gauss-demo bench clean
+        run-square-bench chip-test cholesky-demo gauss-demo singular-demo \
+        bench clean
 
 build:
 	$(PY) -m pip install -e . --no-deps --no-build-isolation -q
@@ -34,6 +35,20 @@ run-gauss-bench:
 	  --reps $(BENCH_REPS) --max-dups $(BENCH_MAX_DUPS) \
 	  --out results/gauss-bench.txt
 
+# general-square (non-SPD) pivoting family — VERDICT r2 missing #2
+run-square-bench:
+	mkdir -p results
+	$(PY) -m cuda_matrix_inversion_tpu.bench.sweep square $(FIXTURES) \
+	  --reps $(BENCH_REPS) --max-dups $(BENCH_MAX_DUPS) \
+	  --out results/square-bench.txt
+
+# on-chip validation ledger (VERDICT r2 weak #6) — resumable foreground
+# chunks; rerun until exit code != 3.  Appends to results/chip-tests.txt.
+chip-test:
+	mkdir -p results
+	$(PY) -m cuda_matrix_inversion_tpu.bench.chip_tests \
+	  --progress /tmp/cmi_chip_tests.progress --budget-s 380
+
 # ref: make cholesky_cpu pipes a known SPD 4x4 (Makefile:229-235)
 cholesky-demo:
 	printf '4\n18 22 54 42\n22 70 86 62\n54 86 174 134\n42 62 134 106\n' | \
@@ -42,6 +57,12 @@ cholesky-demo:
 # ref: make c-test pipes a 5x5 into the inverter (Makefile:158-165)
 gauss-demo:
 	printf '3\n2 0 0\n0 1 2\n-2 1 1\n' | \
+	  $(PY) -m cuda_matrix_inversion_tpu.demos gauss
+
+# the defined singular-input behavior (ref src/gauss/31.txt family had
+# an empty else-branch; here the demo reports SINGULAR per matrix)
+singular-demo:
+	printf '3\n1 2 3\n4 5 6\n5 7 9\n' | \
 	  $(PY) -m cuda_matrix_inversion_tpu.demos gauss
 
 bench:

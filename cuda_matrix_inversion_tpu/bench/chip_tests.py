@@ -1,0 +1,284 @@
+"""On-chip validation ledger — dated pass/fail records for every claim
+that only real TPU hardware can check (VERDICT r2 weak #6).
+
+The pytest suite runs on a forced-CPU backend where Pallas kernels execute
+in interpret mode at full fp32 — the bf16 MXU domain claims (κ edges, the
+scaled-round schedules, the warm-start δ·κ edge, the Schur 512 route) are
+invisible there.  This runner executes those checks on the live chip and
+appends one dated line per check to ``results/chip-tests.txt``::
+
+    2026-08-18T05:12:33 ns_spd_kappa30_edge PASS err=1.8e-05 (gate 1e-4)
+
+so the repo always records *when* each on-chip claim last held.  Bounded
+and resumable like ``bench.sweep`` (the dev-tunnel TPU is unreachable from
+background processes; chip work runs as foreground chunks):
+
+    python -m cuda_matrix_inversion_tpu.bench.chip_tests \
+        --progress /tmp/chip_tests.progress --budget-s 380
+
+Exits 3 while checks remain (rerun to resume), 0 when the ledger is
+complete and all-PASS, 1 if any check FAILED.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+import numpy as np
+
+LEDGER_DEFAULT = "results/chip-tests.txt"
+GATE = 1e-4
+
+
+def _make_cond(batch, n, kappa, rng):
+    q, _ = np.linalg.qr(rng.standard_normal((batch, n, n)))
+    lam = np.logspace(0, -np.log10(kappa), n)
+    return ((q * lam[None, None, :]) @ np.transpose(q, (0, 2, 1))).astype(
+        np.float32)
+
+
+def _gate_err(a, inv):
+    prod = np.asarray(a, np.float64) @ np.asarray(inv, np.float64)
+    resid = np.abs(prod - np.eye(a.shape[-1]))
+    return float(resid.sum(axis=-1).max())
+
+
+def _check(err, gate=GATE):
+    return err < gate, f"err={err:.3g} (gate {gate:g})"
+
+
+# ---- the checks: each returns (ok, detail) ----------------------------
+
+def ns_pan_kappa30_edge():
+    """README NS-pan domain claim: κ ≲ 30 under real bf16 contraction."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = _make_cond(8, 128, 30.0, np.random.default_rng(11))
+    return _check(_gate_err(a, np.asarray(inverse_newton_schulz_pallas(a))))
+
+
+def ns_pan_nonsym_kappa100():
+    """Pan init on NONSYMMETRIC input beyond the documented edge
+    (measured 8.0e-6 on chip r2 — ADVICE r1 #3)."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    rng = np.random.default_rng(12)
+    a = _make_cond(8, 128, 15.0, rng)
+    a = a + 0.015 * np.triu(
+        rng.standard_normal((8, 128, 128)).astype(np.float32), 1)
+    return _check(_gate_err(a, np.asarray(inverse_newton_schulz_pallas(a))))
+
+
+def ns_spd_kappa30_edge():
+    """README NS-spd domain claim (measured 1.8e-5 at κ=30 on chip r2)."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = _make_cond(8, 128, 30.0, np.random.default_rng(13))
+    return _check(_gate_err(
+        a, np.asarray(inverse_newton_schulz_pallas(a, init="spd"))))
+
+
+def ns_spd10_kappa10_edge():
+    """The κ ≲ 10 fast lane at its edge (measured 1.25e-5 on chip r2)."""
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    a = _make_cond(8, 128, 10.0, np.random.default_rng(14))
+    fn = get_inverse_algorithm("newton_schulz_spd10_pallas")
+    return _check(_gate_err(a, np.asarray(fn(a))))
+
+
+def ns_spd10_schur_n240():
+    """ADVICE r2 high-severity regression: the n>224 Schur base must
+    inherit the spd10 schedule (mu_min/polish) — bf16 is the hard case."""
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    a = _make_cond(2, 240, 8.0, np.random.default_rng(15))
+    fn = get_inverse_algorithm("newton_schulz_spd10_pallas")
+    return _check(_gate_err(a, np.asarray(fn(a))))
+
+
+def ns_near_identity():
+    """Scaled-round noise-floor clamp regression (divergence class r2)."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = (np.eye(64)[None].repeat(8, axis=0) * 3.7).astype(np.float32)
+    return _check(_gate_err(a, np.asarray(inverse_newton_schulz_pallas(a))))
+
+
+def warm_start_delta_edge():
+    """Serving-path claim: warm refinement absorbs a 1% perturbation."""
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+        inverse_newton_schulz_warm,
+    )
+
+    rng = np.random.default_rng(16)
+    a = make_spd_batch(16, 128, rng).astype(np.float32)
+    x = np.asarray(inverse_newton_schulz_pallas(a, init="spd"))
+    a2 = a + 0.01 * rng.standard_normal(a.shape).astype(np.float32)
+    a2 = ((a2 + np.transpose(a2, (0, 2, 1))) / 2).astype(np.float32)
+    return _check(_gate_err(a2, np.asarray(inverse_newton_schulz_warm(a2, x))))
+
+
+def schur_512_cholesky():
+    """The 256 < n ≤ 512 serving route, Cholesky base (9.3e-7 on chip r2)."""
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+    from cuda_matrix_inversion_tpu.ops.pallas_cholesky import inverse_cholesky
+
+    a = make_spd_batch(4, 512, np.random.default_rng(17)).astype(np.float32)
+    return _check(_gate_err(a, np.asarray(inverse_cholesky(a))))
+
+
+def schur_512_ns_spd():
+    """Same route, Newton-Schulz base (3.3e-7 on chip r2)."""
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = make_spd_batch(4, 512, np.random.default_rng(18)).astype(np.float32)
+    return _check(_gate_err(
+        a, np.asarray(inverse_newton_schulz_pallas(a, init="spd"))))
+
+
+def pivoting_kernels_gate_100x128():
+    """gauss_pallas + lu_pallas on the headline shape, real Mosaic
+    lowering (interpret-mode pytest cannot catch alignment/VMEM issues)."""
+    from cuda_matrix_inversion_tpu.io.fixtures import make_square_batch
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    a = make_square_batch(100, 128, np.random.default_rng(19)).astype(
+        np.float32)
+    errs = {}
+    for name in ("gauss_pallas", "lu_pallas"):
+        errs[name] = _gate_err(a, np.asarray(get_inverse_algorithm(name)(a)))
+    ok = all(e < GATE for e in errs.values())
+    return ok, " ".join(f"{k}_err={v:.3g}" for k, v in errs.items())
+
+
+def gp_fused_gate_128():
+    """The one-launch fused GP kernel vs the fp64 closed form at n=128."""
+    from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+    from cuda_matrix_inversion_tpu.models.gp import gp_mean_variance
+
+    rng = np.random.default_rng(20)
+    batch, n = 100, 128
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    a = rng.random((batch, n, 1), dtype=np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32)
+    d = rng.random((batch, n, 1), dtype=np.float32)
+    e = rng.random((batch, 1, 1), dtype=np.float32)
+    mean, var = gp_mean_variance(a, b, c, d, e, method="pallas_ns")
+    k = b.astype(np.float64) + np.eye(n) * c[:, :, 0][:, None, :]
+    kinv = np.linalg.inv(k)
+    at = np.transpose(a, (0, 2, 1)).astype(np.float64)
+    mref = at @ (kinv @ d.astype(np.float64))
+    vref = e.astype(np.float64) - at @ (kinv @ a.astype(np.float64))
+    err = max(float(np.abs(np.asarray(mean) - mref).max()),
+              float(np.abs(np.asarray(var) - vref).max()))
+    return _check(err)
+
+
+CHECKS = [
+    ("ns_spd10_schur_n240", ns_spd10_schur_n240),   # the r3 fix: run first
+    ("ns_spd10_kappa10_edge", ns_spd10_kappa10_edge),
+    ("ns_spd_kappa30_edge", ns_spd_kappa30_edge),
+    ("ns_pan_kappa30_edge", ns_pan_kappa30_edge),
+    ("ns_pan_nonsym_kappa100", ns_pan_nonsym_kappa100),
+    ("ns_near_identity", ns_near_identity),
+    ("warm_start_delta_edge", warm_start_delta_edge),
+    ("pivoting_kernels_gate_100x128", pivoting_kernels_gate_100x128),
+    ("gp_fused_gate_128", gp_fused_gate_128),
+    ("schur_512_cholesky", schur_512_cholesky),
+    ("schur_512_ns_spd", schur_512_ns_spd),
+]
+
+
+def run(ledger: str, progress: str | None, budget_s: float | None,
+    checks=None, require_tpu: bool = True, stamp: str | None = None) -> int:
+    import jax
+
+    if require_tpu and jax.default_backend() == "cpu":
+        print("chip_tests: backend is CPU — these claims need the real "
+              "chip (pass --allow-cpu to run the plumbing anyway)",
+              file=sys.stderr)
+        return 2
+
+    checks = checks if checks is not None else CHECKS
+    done = set()
+    if progress and os.path.exists(progress):
+        done = {ln.strip() for ln in open(progress) if ln.strip()}
+
+    os.makedirs(os.path.dirname(ledger) or ".", exist_ok=True)
+    t0 = time.time()
+    failed = remaining = 0
+    for name, fn in checks:
+        if name in done:
+            continue
+        if budget_s is not None and time.time() - t0 > budget_s:
+            remaining += 1
+            continue
+        try:
+            ok, detail = fn()
+        except Exception as e:
+            ok, detail = False, f"EXCEPTION {type(e).__name__}: {e}"
+        when = stamp or datetime.datetime.now().isoformat(timespec="seconds")
+        line = f"{when} {name} {'PASS' if ok else 'FAIL'} {detail}"
+        with open(ledger, "a") as f:
+            f.write(line + "\n")
+        print(line)
+        if not ok:
+            failed += 1
+        if progress:
+            with open(progress, "a") as pf:
+                pf.write(name + "\n")
+    if remaining:
+        print(f"budget exhausted, {remaining} checks remain (rerun to "
+              "resume)", file=sys.stderr)
+        return 3
+    return 1 if failed else 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="on-chip validation ledger (results/chip-tests.txt)")
+    p.add_argument("--ledger", default=LEDGER_DEFAULT)
+    p.add_argument("--progress", default=None, metavar="FILE",
+                   help="resumable mode: skip checks recorded in FILE")
+    p.add_argument("--budget-s", type=float, default=380.0,
+                   help="stop starting new checks after this many seconds "
+                        "(foreground-chunk pattern; exit 3 = rerun to resume)")
+    p.add_argument("--allow-cpu", action="store_true",
+                   help="run even on the CPU backend (plumbing tests only — "
+                        "the ledger lines will not validate bf16 claims)")
+    args = p.parse_args(argv)
+
+    from cuda_matrix_inversion_tpu.utils.backend import (
+        first_contact_watchdog,
+    )
+    from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    with first_contact_watchdog(what="jax.devices()"):
+        jax.devices()
+    return run(args.ledger, args.progress, args.budget_s,
+               require_tpu=not args.allow_cpu)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -72,6 +72,15 @@ def demo_gauss(mats: np.ndarray, file=None) -> None:
     for k, (a, i) in enumerate(zip(mats, inv)):
         print(f"matrix {k}: input", file=file)
         print_matrix(a, file=file)
+        if not np.isfinite(i).all():
+            # the defined singular-input behavior: the kernel propagates
+            # non-finite values (pivot 0 → inf/nan), detected here per
+            # matrix — where the reference's pivot kernel had an empty
+            # else-branch and silently produced garbage
+            # (``batched_invert.cu:29-31``, SURVEY §2.4.3)
+            print(f"matrix {k} is SINGULAR (no inverse; "
+                  "non-finite pivot encountered)\n", file=file)
+            continue
         print("A^-1 (Gauss-Jordan, partial pivoting):", file=file)
         print_matrix(i, file=file)
         err = np.abs(a @ i.astype(np.float64) - np.eye(a.shape[0])).max()
