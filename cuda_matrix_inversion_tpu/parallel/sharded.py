@@ -101,6 +101,30 @@ def sharded_inverse(mesh, a, algorithm: str = "lu"):
     return _inverse_annotated(a_sharded, algorithm)
 
 
+@functools.lru_cache(maxsize=8)
+def _warm_shard_mapped(mesh):
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_warm,
+    )
+
+    spec = P(BATCH_AXIS, None, None)
+    return jax.jit(jax.shard_map(inverse_newton_schulz_warm, mesh=mesh,
+                                 in_specs=(spec, spec), out_specs=spec,
+                                 check_vma=False))
+
+
+def sharded_inverse_warm(mesh, a, x0):
+    """Warm-start Newton-Schulz refinement over the mesh — the serving
+    path (refresh a slowly-varying batch from its previous inverse) runs
+    per-shard via shard_map like every Pallas kernel.  Both operands are
+    padded identically (identity pads refine to identity, staying inert)."""
+    padded_a, batch = _pad_to_mesh(mesh, a)
+    padded_x0, _ = _pad_to_mesh(mesh, x0)
+    out = _warm_shard_mapped(mesh)(_shard(mesh, padded_a),
+                                   _shard(mesh, padded_x0))
+    return out if out.shape[0] == batch else out[:batch]
+
+
 # ---- GP pipeline ----
 
 #: gp_mean_variance methods whose device path contains a Pallas kernel.
