@@ -39,12 +39,16 @@ only ~19 ms was the pivot search itself.  Storing the panel TRANSPOSED —
 (pivot row extraction is a cross-lane masked sum to ``(BM, pw, 1)``,
 multiplier broadcast rides the sublane dim) and cuts the kernel 62.8 →
 19.5 ms, 3.2× (15.8 ms after the shared triangular-inverse body also
-went relayout-free).  The remaining per-column chain is the argmax +
-swap dependency; same-session ordering of the pivoted direct paths is
-now rank-1 swap-free GJ 14.1 ms ≲ this kernel 15.8 ms ≪ XLA expander
-99 ms — GJ keeps a slight edge (no panel scaffolding at all), this
-kernel is the LAPACK-semantics pick (getrf pivot order, compact LU,
-getri substitutions) at ~6× the XLA expander.
+went relayout-free).  r3 removes the row SWAP from the per-column chain
+entirely (``_panel_factor_swapfree``): the panel factors in scattered
+row positions with a used-row mask — one fused store per column instead
+of swap-blend + eliminate — and the one-hot per-panel permutation the
+kernel already pays for the batched laswp unscatters panel and work
+together.  Same-session r2 ordering of the pivoted direct paths was
+rank-1 swap-free GJ 14.1 ms ≲ this kernel 15.8 ms ≪ XLA expander 99 ms
+at 1600×128; this kernel is the LAPACK-semantics pick (magnitude
+partial pivoting, compact LU, getri substitutions) at ~6× the XLA
+expander (r3 swap-free numbers: see REPORT / results ledger).
 
 Mosaic constraints honored throughout: no dynamic lane-dim indexing
 (one-hot lane reductions / static panel slices), no bool 3-D vectors
@@ -72,159 +76,90 @@ from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
 )
 
 
-def _panel_factor_body(pw: int, k0: int, n: int, pcopy_ref, pidx_ref):
-    """Pivoted rank-1 factorization of one panel (columns k0..k0+pw).
+def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
+                           used_ref):
+    """Pivoted rank-1 factorization of one panel, TRANSPOSED layout,
+    with NO physical row swaps (r3 rewrite of ``_panel_factor_body_t`` —
+    VERDICT r2 next #9: the per-column latency chain).
 
-    ``pcopy_ref`` (BM, N, pw) holds the panel with trailing updates
-    applied; on exit it is the compact panel factor (U₁₁ upper, L₁₁/L₂₁
-    multipliers below the diagonal).  Row swaps are applied to the panel
-    copy only; the full-width augmented rows are NOT blended per column —
-    the panel's accumulated permutation is recorded as an index vector in
-    ``pidx_ref`` (BM, N) and applied to the augmented buffer once per
-    panel as a single one-hot MXU matmul (getrf's laswp batched into one
-    permutation apply; the per-column full-width blend version measured
-    6.7 ms at 100×128 — ~10× the cost of the panel's own arithmetic).
+    ``pcT_ref`` (BM, pw, N) holds the panel transposed (matrix rows on the
+    128 lanes, panel columns on sublanes).  The swap-based body spent two
+    full-panel stores per column (swap blend + elimination) plus the
+    post-swap column derivation on the sequential critical path; here the
+    panel is factored **in scattered row positions** — the same swap-free
+    trick that carried the rank-1 GJ kernel (:mod:`.pallas_gauss_jordan`):
 
-    r2 latency trims on the sequential per-column chain (VERDICT r1 weak
-    #4): the post-swap pivot column is derived from the already-reduced
-    pre-swap column (its g/p elements just exchange) instead of a second
-    (BM, N, pw) reduction; the post-swap pivot row IS ``rowp``, saving a
-    ref re-read; the global permutation index is no longer updated per
-    column — callers compose it per panel with the same one-hot matmul
-    that permutes the work buffer.  Swap and elimination remain separate
-    stores (a fully fused single store measured ~50% slower — Mosaic
-    pipelines distinct store passes better).
-    """
-    bm = pcopy_ref.shape[0]
-    lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
-    lanes_pw = jax.lax.broadcasted_iota(jnp.int32, (bm, pw), 1)
-    pidx_ref[:, :] = lanes_n.astype(jnp.float32)
+    * per column j: pick the max-|·| pivot among rows not yet used
+      (``used_ref`` (BM, N) mask — the same candidate set partial
+      pivoting sees), record its destination ``k0+j`` in ``dest_ref``
+      (BM, N), and eliminate in place with ONE fused store (elimination
+      on sublanes > j + compact-L multiplier write at sublane j);
+    * no data moves per column.  At panel end the still-unused rows are
+      assigned destinations ``k1 + rank`` (rank = # unused rows of
+      smaller index, ONE (BM,N)×(N,N) MXU matmul with strict-lower
+      ones), completing a bijection; the caller unscatters the whole
+      work buffer — panel writeback included — with the one one-hot MXU
+      matmul per matrix it already paid for the batched laswp.
 
-    def body(j, _):
-        g = k0 + j
-        # column j of the panel copy: one-hot lane reduction (dynamic j)
-        cmask = (lanes_pw == j).astype(jnp.float32)
-        gcol = jnp.sum(pcopy_ref[:, :, :] * cmask[:, None, :], axis=2)  # (BM, N)
-        # per-matrix pivot row: argmax |col| over rows >= g
-        cand = jnp.where(lanes_n >= g, jnp.abs(gcol), -1.0)
-        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        pmask = (lanes_n == piv[:, None]).astype(jnp.float32)
-        gmask = (lanes_n == g).astype(jnp.float32)
-        is_g = gmask[:, :, None]
-        is_p = (pmask * (1.0 - gmask))[:, :, None]
-
-        rowg = pcopy_ref[:, pl.ds(g, 1), :][:, 0, :]  # (BM, pw)
-        rowp = jnp.sum(pcopy_ref[:, :, :] * pmask[:, :, None], axis=1)
-        pc = pcopy_ref[:, :, :]
-        pcopy_ref[:, :, :] = (pc + is_g * (rowp[:, None, :] - pc)
-                              + is_p * (rowg[:, None, :] - pc))
-        # panel-local permutation index (cheap (BM, N) pass)
-        pv = pidx_ref[:, :]
-        eg = jnp.sum(pv * gmask, axis=1, keepdims=True)
-        ep_i = jnp.sum(pv * pmask, axis=1, keepdims=True)
-        pidx_ref[:, :] = (pv + gmask * (ep_i - pv)
-                          + pmask * (1.0 - gmask) * (eg - pv))
-
-        # post-swap pivot column, derived from gcol (entries g/p exchange)
-        ekv = jnp.sum(jnp.where(lanes_n == g, gcol, 0.0), axis=1,
-                      keepdims=True)
-        pivval = jnp.sum(jnp.where(lanes_n == piv[:, None], gcol, 0.0),
-                         axis=1, keepdims=True)
-        gcol2 = jnp.where(lanes_n == g, pivval,
-                          jnp.where(lanes_n == piv[:, None], ekv, gcol))
-        mult = jnp.where(lanes_n > g, gcol2 / pivval, 0.0)  # (BM, N)
-        # post-swap pivot row IS rowp; restrict to columns right of j
-        prow_right = jnp.where(lanes_pw > j, rowp, 0.0)
-        eliminated = pcopy_ref[:, :, :] - mult[:, :, None] * prow_right[:, None, :]
-        # column j below the diagonal := the multipliers (compact L storage)
-        sel = mult[:, :, None] * cmask[:, None, :]  # nonzero only (i>g, lane j)
-        keep = 1.0 - (lanes_n > g).astype(jnp.float32)[:, :, None] * cmask[:, None, :]
-        pcopy_ref[:, :, :] = eliminated * keep + sel
-        return 0
-
-    jax.lax.fori_loop(0, pw, body, 0)
-
-
-def _panel_factor_body_t(pw: int, k0: int, n: int, pcT_ref, pidx_ref):
-    """Pivoted rank-1 factorization of one panel in TRANSPOSED layout.
-
-    ``pcT_ref`` (BM, pw, N) holds the panel transposed: ``[b, j, i] =
-    panel[b, i, j]`` — matrix rows ride the 128 lanes, panel columns the
-    sublanes.  This is the layout that makes the sequential per-column
-    chain cheap (see the module docstring's 62.8 → 19.5 ms measurement):
-
-    * column j extraction is a dynamic SUBLANE slice (``pl.ds`` — legal),
-      not a one-hot lane reduction;
-    * the pivot row's panel entries are a cross-lane masked sum to
-      ``(BM, pw, 1)``, broadcast back over lanes for the swap blend —
-      both native VPU ops;
-    * the ``(BM, N)`` multiplier vector broadcasts across the SUBLANE dim
-      (``mult[:, None, :]``), which needs no relayout, where the natural
-      layout needed a lane→sublane relayout per column.
-
-    Row swaps are applied to the panel copy only; the permutation is
-    recorded in ``pidx_ref`` (BM, N) and applied to the full work buffer
-    once per panel as a one-hot MXU matmul (batched laswp).  The post-swap
-    pivot column is derived from the pre-swap column (entries g/p
-    exchange) and the post-swap pivot row's panel entries are the
-    already-reduced ``colp`` — no re-reads of the panel.
+    Ties in |pivot| may resolve to a different (equally valid) row than
+    the sequential-swap order; the pivot QUALITY (true magnitude partial
+    pivoting, upgrading the reference's exact-zero scan
+    ``batched_invert.cu:19-35``) is unchanged.
     """
     bm = pcT_ref.shape[0]
     lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
     sub_pw = jax.lax.broadcasted_iota(jnp.int32, (bm, pw, 1), 1)
-    pidx_ref[:, :] = lanes_n.astype(jnp.float32)
+    used_ref[:, :] = (lanes_n < k0).astype(jnp.float32)
+    dest_ref[:, :] = lanes_n.astype(jnp.float32)
 
     def body(j, _):
         g = k0 + j
-        # pre-swap column j of the panel: dynamic sublane slice
-        gcol = pcT_ref[:, pl.ds(j, 1), :][:, 0, :]           # (BM, N)
-        # per-matrix pivot row: argmax |col| over rows >= g
-        cand = jnp.where(lanes_n >= g, jnp.abs(gcol), -1.0)
+        # current column j of the panel: dynamic sublane slice (legal)
+        col = pcT_ref[:, pl.ds(j, 1), :][:, 0, :]             # (BM, N)
+        cand = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col), -1.0)
         piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        gmask = (lanes_n == g).astype(jnp.float32)
         pmask = (lanes_n == piv[:, None]).astype(jnp.float32)
-        g3 = gmask[:, None, :]
-        p3 = (pmask * (1.0 - gmask))[:, None, :]
+        used_after = used_ref[:, :] + pmask
+        used_ref[:, :] = used_after
+        dest_ref[:, :] = dest_ref[:, :] + pmask * (g - dest_ref[:, :])
 
-        # swap rows g,p (lane positions) in the transposed panel: the two
-        # rows' panel entries are cross-lane masked sums, lane-broadcast back
-        pcT = pcT_ref[:, :, :]
-        colg = jnp.sum(pcT * g3, axis=2, keepdims=True)       # (BM, pw, 1)
-        colp = jnp.sum(pcT * pmask[:, None, :], axis=2, keepdims=True)
-        pcT_ref[:, :, :] = pcT + g3 * (colp - pcT) + p3 * (colg - pcT)
-
-        # panel-local permutation index (cheap (BM, N) pass)
-        pv = pidx_ref[:, :]
-        eg = jnp.sum(pv * gmask, axis=1, keepdims=True)
-        ep_i = jnp.sum(pv * pmask, axis=1, keepdims=True)
-        pidx_ref[:, :] = (pv + gmask * (ep_i - pv)
-                          + pmask * (1.0 - gmask) * (eg - pv))
-
-        # post-swap pivot column, derived from gcol (entries g/p exchange)
-        ekv = jnp.sum(gcol * gmask, axis=1, keepdims=True)    # (BM, 1)
-        pivval = jnp.sum(gcol * pmask, axis=1, keepdims=True)
-        gcol2 = jnp.where(lanes_n == g, pivval,
-                          jnp.where(lanes_n == piv[:, None], ekv, gcol))
-        mult = jnp.where(lanes_n > g, gcol2 / pivval, 0.0)    # (BM, N)
-        # post-swap pivot row IS old row p; its panel entries are colp,
-        # restricted to columns right of j (sublanes > j)
-        prow_right = colp * (sub_pw > j).astype(jnp.float32)  # (BM, pw, 1)
-        eliminated = pcT_ref[:, :, :] - prow_right * mult[:, None, :]
-        # compact L: panel column j (sublane j) below the diagonal := mult
-        sel = ((sub_pw == j).astype(jnp.float32)
-               * (lanes_n > g).astype(jnp.float32)[:, None, :])
-        pcT_ref[:, :, :] = eliminated * (1.0 - sel) + mult[:, None, :] * sel
+        pivval = jnp.sum(col * pmask, axis=1, keepdims=True)  # (BM, 1)
+        # pivot row's panel entries: cross-lane masked sum (BM, pw, 1)
+        colp = jnp.sum(pcT_ref[:, :, :] * pmask[:, None, :], axis=2,
+                       keepdims=True)
+        emask = 1.0 - used_after                # rows still awaiting a pivot
+        mult = emask * col / pivval             # (BM, N); 0 on done rows
+        m3 = mult[:, None, :]
+        # ONE fused store: rank-1 elimination right of j + compact-L
+        # multiplier write at sublane j (the eliminated value there is an
+        # exact 0 in infinite precision — store the multiplier instead)
+        colp_right = colp * (sub_pw > j).astype(jnp.float32)
+        selj = (sub_pw == j).astype(jnp.float32)
+        upd = pcT_ref[:, :, :] - colp_right * m3
+        pcT_ref[:, :, :] = upd + selj * emask[:, None, :] * (m3 - upd)
         return 0
 
     jax.lax.fori_loop(0, pw, body, 0)
 
+    # complete the destination bijection: unused rows go to k1.. in
+    # original-index order; rank via one MXU matmul (strict-lower ones)
+    unused = 1.0 - used_ref[:, :]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    slt = (row_i < col_i).astype(jnp.float32)
+    rank = _mm(unused, slt)                     # (BM, N)
+    dest_ref[:, :] = (dest_ref[:, :]
+                      + unused * ((k0 + pw) + rank - dest_ref[:, :]))
+
 
 def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcT_ref,
                                tri_ref, tinv_ref, tnat_ref, ldws_ref,
-                               udws_ref, pidx_ref, gidx_ref):
+                               udws_ref, pidx_ref, gidx_ref, used_ref):
     """getrf + getri fused: factor A in VMEM with the permutation kept as
     an index vector, then A⁻¹ = U⁻¹·(L⁻¹P).  The panel scratch is the
-    TRANSPOSED (BM, pw, N) layout of :func:`_panel_factor_body_t`."""
+    TRANSPOSED (BM, pw, N) swap-free layout of
+    :func:`_panel_factor_swapfree` (``pidx_ref`` holds its destination
+    vector, ``gidx_ref`` the composed global permutation)."""
     bm, n, _ = a_ref.shape
     np_ = n // pw
 
@@ -239,47 +174,45 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcT_ref,
     gidx_ref[:, :] = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1
                                               ).astype(jnp.float32)
 
-    # ---- Phase 1: blocked right-looking factorization ----
+    # ---- Phase 1: blocked right-looking factorization (swap-free) ----
     for p in range(np_):
         k0 = p * pw
         k1 = k0 + pw
         for b in range(bm):
             pcT_ref[b, :, :] = work_ref[b, :, k0:k1].T
-        _panel_factor_body_t(pw, k0, n, pcT_ref, pidx_ref)
-        # apply the panel's accumulated row permutation to the work
-        # buffer as ONE one-hot matmul per matrix (batched laswp): the
-        # index vector becomes a 0/1 matrix via exact f32 arithmetic
-        # (Mosaic can't make 3-D bool vectors) and the MXU moves the
-        # rows — exact under HIGHEST precision
-        # one-hot built per matrix in TRANSPOSED (N, N) layout (64 KB of
-        # scoped VMEM instead of a (BM, N, N) 3-D value, which OOMed at
-        # BM=32): ohT[s, i] = 1 iff s == pidx[i], so contracting dim 0
-        # gathers work[pidx[i], :] into row i.  The GLOBAL permutation
-        # index advances through the same one-hot (gidx'[m] =
-        # gidx[pidx[m]]) instead of per-column (BM, N) blends — the
-        # per-column chain is the latency-bound part (VERDICT r1 #4).
+        _panel_factor_swapfree(pw, k0, n, pcT_ref, pidx_ref, used_ref)
+        # write the scattered factored panel back, then unscatter the
+        # WHOLE work buffer (panel included) with ONE one-hot MXU matmul
+        # per matrix (batched laswp): pidx holds each source row's
+        # destination, so ohT[s, i] = 1 iff dest[s] == i and contracting
+        # dim 0 gathers source row s into row i — exact 0/1 arithmetic
+        # under HIGHEST precision, built per matrix as a 2-D (N, N) value
+        # (64 KB of scoped VMEM; a (BM, N, N) 3-D value OOMed at BM=32).
+        # The GLOBAL permutation index advances through the same one-hot.
         pidxv = pidx_ref[:, :]
         gidxv = gidx_ref[:, :]
         for b in range(bm):
+            work_ref[b, :, k0:k1] = pcT_ref[b, :, :].T
             oht = jnp.maximum(0.0, 1.0 - jnp.abs(
-                row_f2 - pidxv[b][None, :]))
+                pidxv[b][:, None] - row_f2.T))
             work_ref[b, :, :] = _mm(oht, work_ref[b, :, :],
                                     contract=((0,), (0,)))
             gidx_ref[b:b + 1, :] = _mm(gidxv[b][None, :], oht)
-            # factored panel back into work (compact L/U columns k0:k1)
-            work_ref[b, :, k0:k1] = pcT_ref[b, :, :].T
 
         # both pw×pw triangular inverses in ONE vectorized substitution
         # pass over a (2BM, pw, pw) stack — the sequential pw-step loop is
         # latency-bound, so doubling the vector width halves its cost.
         # slots [0:BM]: L11ᵀ rows (= L columns) → tinv[0:BM] = L11⁻¹;
         # slots [BM:2BM]: U11 rows (= U11ᵀ columns) → tinv[BM:] = (U11⁻¹)ᵀ
-        # The transposed panel holds blk.T natively: blk.T = pcT[:, :, k0:k1]
-        tri_ref[0:bm, :, :] = (jnp.where(row_pw < col_pw,
-                                         pcT_ref[:, :, k0:k1], 0.0)
-                               + jnp.broadcast_to(eye_pw, (bm, pw, pw)))
+        # The diagonal block now comes from the PERMUTED work (the panel
+        # was unscattered there); U slots read it natively, L slots via a
+        # small (pw, pw) per-matrix transpose.
         for b in range(bm):
-            tri_ref[bm + b, :, :] = pcT_ref[b, :, k0:k1].T
+            tri_ref[bm + b, :, :] = work_ref[b, k0:k1, k0:k1]
+            tri_ref[b, :, :] = work_ref[b, k0:k1, k0:k1].T
+        tri_ref[0:bm, :, :] = (jnp.where(row_pw < col_pw,
+                                         tri_ref[0:bm, :, :], 0.0)
+                               + jnp.broadcast_to(eye_pw, (bm, pw, pw)))
         tri_ref[bm:2 * bm, :, :] = jnp.where(row_pw <= col_pw,
                                              tri_ref[bm:2 * bm, :, :], 0.0)
         _triangular_inverse_body(pw, tri_ref, tinv_ref, tnat_ref)
@@ -296,12 +229,9 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcT_ref,
             u12 = newrows * keep_mask
             work_ref[b, k0:k1, :] = rowslab * (1.0 - keep_mask) + u12
             if p < np_ - 1:
-                # L21 lives transposed in pcT (rows >= k1 on lanes):
-                # mask there and contract the panel-column dim directly —
-                # no transpose back needed for the trailing update
-                l21t = pcT_ref[b, :, :] * keep_mask  # (pw, N)
-                work_ref[b, :, :] = work_ref[b, :, :] - _mm(
-                    l21t, u12, contract=((0,), (0,)))
+                # L21 multipliers sit ordered in the permuted work
+                l21 = work_ref[b, k1:n, k0:k1]  # (n-k1, pw)
+                work_ref[b, k1:n, :] = work_ref[b, k1:n, :] - _mm(l21, u12)
 
     # ---- Phase 2: Y = L⁻¹ P by block forward substitution (Y in out) ----
     # Seed out with the one-hot P built from the global index vector;
@@ -421,8 +351,9 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
             pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri natural-layout
             pltpu.VMEM((bm, n, pw), jnp.float32),     # saved L11⁻¹ per panel
             pltpu.VMEM((bm, n, pw), jnp.float32),     # saved (U11⁻¹)ᵀ per panel
-            pltpu.VMEM((bm, n), jnp.float32),         # panel permutation idx
+            pltpu.VMEM((bm, n), jnp.float32),         # panel dest vector
             pltpu.VMEM((bm, n), jnp.float32),         # global permutation idx
+            pltpu.VMEM((bm, n), jnp.float32),         # used-row mask
         ],
         interpret=run_interpret,
     )(a_p)
