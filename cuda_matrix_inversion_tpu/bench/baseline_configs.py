@@ -150,9 +150,16 @@ def main(argv=None) -> int:
     p.add_argument("--skip", nargs="*", default=[], type=int)
     args = p.parse_args(argv)
 
+    from cuda_matrix_inversion_tpu.utils.backend import (
+        first_contact_watchdog,
+    )
     from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    import jax
+
+    with first_contact_watchdog(what="jax.devices()"):
+        jax.devices()
 
     fixtures = args.fixtures
     if fixtures is None:

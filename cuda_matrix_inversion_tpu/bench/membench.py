@@ -135,11 +135,20 @@ def main(argv=None) -> int:
     p.add_argument("num_reps", type=int)
     p.add_argument("num_elems", type=int)
     p.add_argument("num_arrays", type=int)
+    from cuda_matrix_inversion_tpu.utils.backend import (
+        backend_argument,
+        pin_backend,
+        touch_devices,
+    )
+
+    backend_argument(p)
     args = p.parse_args(argv)
 
     from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
 
+    pin_backend(args.backend)
     enable_compilation_cache()
+    touch_devices()  # bounded-time first device contact (tunnel watchdog)
     run(args.num_reps, args.num_elems, args.num_arrays)
     return 0
 

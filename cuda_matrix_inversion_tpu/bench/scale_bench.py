@@ -51,7 +51,12 @@ def run(num: int, n: int, dtype: str, algorithm: str, n_devices: int | None,
         pad_to_multiple,
     )
 
-    devices = jax.devices()
+    from cuda_matrix_inversion_tpu.utils.backend import (
+        first_contact_watchdog,
+    )
+
+    with first_contact_watchdog(what="jax.devices()"):
+        devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     mesh = batch_mesh(n_devices)
@@ -97,6 +102,9 @@ def main(argv=None) -> int:
     from cuda_matrix_inversion_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # run() owns the backend pin (it must set XLA_FLAGS for virtual CPU
+    # devices BEFORE the first backend touch, so no jax.devices() here);
+    # run() wraps its own first device contact in the tunnel watchdog.
     print(json.dumps(run(args.num, args.n, args.dtype, args.algorithm,
                          args.devices, force_cpu=args.force_cpu)))
     return 0
