@@ -176,6 +176,25 @@ def test_emitter_no_result_is_valid_json(capsys):
     assert line["value"] == 0.0 and "note" in line
 
 
+# --- sweep: square kind end-to-end + audit wiring -----------------------
+
+def test_sweep_square_kind_end_to_end(tmp_path):
+    from cuda_matrix_inversion_tpu.bench import sweep
+    from cuda_matrix_inversion_tpu.io.fixtures import generate_square_fixtures
+
+    root = tmp_path / "fx"
+    generate_square_fixtures(str(root / "square_5_8x8"), 8, 5, seed=3)
+    out = tmp_path / "square-bench.txt"
+    rc = sweep.main(["square", str(root), "--reps", "1", "--dups", "1",
+                     "--out", str(out), "--backend", "cpu",
+                     "--algorithms", "lu,gauss_pallas"])
+    assert rc == 0
+    rows = [ln.split() for ln in open(out) if ln.strip()]
+    assert {r[3] for r in rows} == {"lu", "gauss_pallas"}
+    assert all(float(r[-1]) < 1e-4 for r in rows)  # L1 vs shipped aInv
+    assert (tmp_path / "square-bench-errors.txt").exists()
+
+
 # --- chip-test ledger plumbing (weak #6: undated on-chip claims) -------
 
 def test_chip_test_ledger_plumbing(tmp_path):
