@@ -79,36 +79,66 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref):
     used_ref[:, :] = jnp.zeros((bm, n), jnp.float32)
     pidx_ref[:, :] = jnp.zeros((bm, n), jnp.float32)
 
-    def body(k, _):
-        # column k of the A-half: dynamic SUBLANE slice (legal), not a
-        # one-hot lane reduction
-        col = work_ref[:, pl.ds(k, 1), :][:, 0, :]           # (BM, N)
-        # per-matrix pivot row: argmax |col| over unused rows
-        cand = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col), -1.0)
-        p = jnp.argmax(cand, axis=1).astype(jnp.int32)       # (BM,)
-        pmask = (lanes_n == p[:, None]).astype(jnp.float32)
-        used_ref[:, :] = used_ref[:, :] + pmask
-        kmask = (lanes_n == k).astype(jnp.float32)
+    def body(kk, _):
+        # TWO pivot steps per iteration, ONE read-modify-write of the big
+        # augmented buffer (r3): at 1600×128 / BM=32 this kernel is
+        # VMEM-bandwidth-bound — work is (BM, 2N, N) ≈ 4 MB and the
+        # single-column body made 3 full passes per column (pivot-row
+        # reduction, update read, update write).  Column k+1's pivot
+        # column and pivot row are DERIVED from column k's rank-1 step in
+        # (BM, N)/(BM, 2N, 1)-sized register math, so two eliminations
+        # cost 4 passes instead of 6.  n is tile-padded, hence even.
+        k = 2 * kk
+        # ---- step 1: column k (classical swap-free pivoting) ----
+        col1 = work_ref[:, pl.ds(k, 1), :][:, 0, :]          # (BM, N)
+        cand1 = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col1), -1.0)
+        p1 = jnp.argmax(cand1, axis=1).astype(jnp.int32)
+        pm1 = (lanes_n == p1[:, None]).astype(jnp.float32)
+        used_ref[:, :] = used_ref[:, :] + pm1
+        km1 = (lanes_n == k).astype(jnp.float32)
         # record p_k (float via masked iota sum: Mosaic rejects sitofp of
         # the argmax vector)
-        p_f = jnp.sum(lanes_n.astype(jnp.float32) * pmask, axis=1,
+        p1f = jnp.sum(lanes_n.astype(jnp.float32) * pm1, axis=1,
                       keepdims=True)                         # (BM, 1)
-        pidx_ref[:, :] = pidx_ref[:, :] + kmask * (p_f - pidx_ref[:, :])
+        pidx_ref[:, :] = pidx_ref[:, :] + km1 * (p1f - pidx_ref[:, :])
+        piv1 = jnp.sum(col1 * pm1, axis=1, keepdims=True)    # (BM, 1)
+        rowp1 = jnp.sum(work_ref[:, :, :] * pm1[:, None, :], axis=2,
+                        keepdims=True)                       # (BM, 2N, 1)
+        rn1 = rowp1 / piv1[:, :, None]
+        f1 = col1 * (1.0 - pm1)                              # no self-elim
 
-        pivot = jnp.sum(col * pmask, axis=1, keepdims=True)  # (BM, 1) = A[p, k]
-        rowp = jnp.sum(work_ref[:, :, :] * pmask[:, None, :], axis=2,
-                       keepdims=True)                        # (BM, 2N, 1)
-        rownorm = rowp / pivot[:, :, None]
-        factor = col * (1.0 - pmask)                         # no self-elim
-        p3 = pmask[:, None, :]
-        # eliminate all other rows and write the normalized pivot row, in
-        # one fused read-modify-write pass
-        work_ref[:, :, :] = ((work_ref[:, :, :]
-                              - rownorm * factor[:, None, :]) * (1.0 - p3)
-                             + rownorm * p3)
+        # ---- step 2: column k+1, derived without storing step 1 ----
+        col2_raw = work_ref[:, pl.ds(k + 1, 1), :][:, 0, :]
+        a1 = jnp.sum(col2_raw * pm1, axis=1, keepdims=True)  # work[p1, k+1]
+        rn1k1 = a1 / piv1                                    # normalized
+        col2 = (col2_raw - rn1k1 * f1) * (1.0 - pm1) + rn1k1 * pm1
+        cand2 = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col2), -1.0)
+        p2 = jnp.argmax(cand2, axis=1).astype(jnp.int32)
+        pm2 = (lanes_n == p2[:, None]).astype(jnp.float32)
+        used_ref[:, :] = used_ref[:, :] + pm2
+        km2 = (lanes_n == (k + 1)).astype(jnp.float32)
+        p2f = jnp.sum(lanes_n.astype(jnp.float32) * pm2, axis=1,
+                      keepdims=True)
+        pidx_ref[:, :] = pidx_ref[:, :] + km2 * (p2f - pidx_ref[:, :])
+        piv2 = jnp.sum(col2 * pm2, axis=1, keepdims=True)
+        # row p2 after step 1: p2 ≠ p1, so only the rank-1 term applies
+        rowp2_raw = jnp.sum(work_ref[:, :, :] * pm2[:, None, :], axis=2,
+                            keepdims=True)
+        s2 = jnp.sum(f1 * pm2, axis=1, keepdims=True)        # f1 at lane p2
+        rowp2 = rowp2_raw - rn1 * s2[:, :, None]
+        rn2 = rowp2 / piv2[:, :, None]
+        f2 = col2 * (1.0 - pm2)
+
+        # ---- ONE fused read-modify-write applying both rank-1 steps ----
+        p1_3 = pm1[:, None, :]
+        p2_3 = pm2[:, None, :]
+        w = work_ref[:, :, :]
+        w1 = (w - rn1 * f1[:, None, :]) * (1.0 - p1_3) + rn1 * p1_3
+        work_ref[:, :, :] = ((w1 - rn2 * f2[:, None, :]) * (1.0 - p2_3)
+                             + rn2 * p2_3)
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, n // 2, body, 0)
 
     # A⁻¹[k, c] = R[p_k, c]: one-hot contraction over the lane (row) dim,
     # exact 0/1 arithmetic under HIGHEST precision
