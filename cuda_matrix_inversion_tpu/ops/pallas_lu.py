@@ -112,34 +112,66 @@ def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
     used_ref[:, :] = (lanes_n < k0).astype(jnp.float32)
     dest_ref[:, :] = lanes_n.astype(jnp.float32)
 
-    def body(j, _):
+    def body(jj, _):
+        # TWO pivot columns per iteration, ONE fused panel store (the
+        # same derivation as the GJ kernel's two-step body): the panel
+        # chain is latency-bound, so halving the store/loop count per
+        # column shortens the sequential critical path.  pw ∈ {8,16,32}
+        # is always even.
+        j = 2 * jj
         g = k0 + j
-        # current column j of the panel: dynamic sublane slice (legal)
-        col = pcT_ref[:, pl.ds(j, 1), :][:, 0, :]             # (BM, N)
-        cand = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col), -1.0)
-        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        pmask = (lanes_n == piv[:, None]).astype(jnp.float32)
-        used_after = used_ref[:, :] + pmask
-        used_ref[:, :] = used_after
-        dest_ref[:, :] = dest_ref[:, :] + pmask * (g - dest_ref[:, :])
-
-        pivval = jnp.sum(col * pmask, axis=1, keepdims=True)  # (BM, 1)
+        # ---- step 1: column j ----
+        col1 = pcT_ref[:, pl.ds(j, 1), :][:, 0, :]            # (BM, N)
+        cand1 = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col1), -1.0)
+        p1 = jnp.argmax(cand1, axis=1).astype(jnp.int32)
+        pm1 = (lanes_n == p1[:, None]).astype(jnp.float32)
+        used1 = used_ref[:, :] + pm1
+        dest_ref[:, :] = dest_ref[:, :] + pm1 * (g - dest_ref[:, :])
+        piv1 = jnp.sum(col1 * pm1, axis=1, keepdims=True)     # (BM, 1)
         # pivot row's panel entries: cross-lane masked sum (BM, pw, 1)
-        colp = jnp.sum(pcT_ref[:, :, :] * pmask[:, None, :], axis=2,
-                       keepdims=True)
-        emask = 1.0 - used_after                # rows still awaiting a pivot
-        mult = emask * col / pivval             # (BM, N); 0 on done rows
-        m3 = mult[:, None, :]
-        # ONE fused store: rank-1 elimination right of j + compact-L
-        # multiplier write at sublane j (the eliminated value there is an
-        # exact 0 in infinite precision — store the multiplier instead)
-        colp_right = colp * (sub_pw > j).astype(jnp.float32)
-        selj = (sub_pw == j).astype(jnp.float32)
-        upd = pcT_ref[:, :, :] - colp_right * m3
-        pcT_ref[:, :, :] = upd + selj * emask[:, None, :] * (m3 - upd)
+        colp1 = jnp.sum(pcT_ref[:, :, :] * pm1[:, None, :], axis=2,
+                        keepdims=True)
+        e1 = 1.0 - used1                       # rows still awaiting a pivot
+        mult1 = e1 * col1 / piv1               # (BM, N); 0 on done rows
+
+        # ---- step 2: column j+1, derived without storing step 1 ----
+        col2_raw = pcT_ref[:, pl.ds(j + 1, 1), :][:, 0, :]
+        a1 = jnp.sum(col2_raw * pm1, axis=1, keepdims=True)   # row p1 @ j+1
+        col2 = col2_raw - a1 * mult1           # step-1 elimination applied
+        cand2 = jnp.where(used1 == 0.0, jnp.abs(col2), -1.0)
+        p2 = jnp.argmax(cand2, axis=1).astype(jnp.int32)
+        pm2 = (lanes_n == p2[:, None]).astype(jnp.float32)
+        used2 = used1 + pm2
+        used_ref[:, :] = used2
+        dest_ref[:, :] = dest_ref[:, :] + pm2 * (g + 1 - dest_ref[:, :])
+        piv2 = jnp.sum(col2 * pm2, axis=1, keepdims=True)
+        # row p2's panel entries after step 1: eliminated right of j,
+        # multiplier m12 written at sublane j (p2 was unused during step 1)
+        m12 = jnp.sum(mult1 * pm2, axis=1, keepdims=True)     # (BM, 1)
+        colp2_raw = jnp.sum(pcT_ref[:, :, :] * pm2[:, None, :], axis=2,
+                            keepdims=True)
+        gtj = (sub_pw > j).astype(jnp.float32)
+        eqj = (sub_pw == j).astype(jnp.float32)
+        m12_3 = m12[:, :, None]
+        colp2 = (colp2_raw - colp1 * m12_3 * gtj
+                 + eqj * (m12_3 - colp2_raw))
+        e2 = 1.0 - used2
+        mult2 = e2 * col2 / piv2
+
+        # ---- ONE fused store: both eliminations + both compact-L
+        # multiplier writes (the eliminated value at the pivot sublane is
+        # an exact 0 in infinite precision — store the multiplier) ----
+        m1_3 = mult1[:, None, :]
+        m2_3 = mult2[:, None, :]
+        t = pcT_ref[:, :, :] - colp1 * gtj * m1_3
+        t = t + eqj * e1[:, None, :] * (m1_3 - t)
+        t = t - colp2 * (sub_pw > j + 1).astype(jnp.float32) * m2_3
+        t = (t + (sub_pw == j + 1).astype(jnp.float32)
+             * e2[:, None, :] * (m2_3 - t))
+        pcT_ref[:, :, :] = t
         return 0
 
-    jax.lax.fori_loop(0, pw, body, 0)
+    jax.lax.fori_loop(0, pw // 2, body, 0)
 
     # complete the destination bijection: unused rows go to k1.. in
     # original-index order; rank via one MXU matmul (strict-lower ones)
