@@ -164,30 +164,62 @@ def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref):
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.float32)
     w_ref[:, :, :] = jnp.broadcast_to(eye, (bm, n, n))
 
-    def body(k, _):
-        col = work_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, N) — row k = col k
-        akk = _lane_select(col, k)
-        inv_d = 1.0 / jnp.sqrt(akk)
-        lcol = jnp.where(lanes > k, col * inv_d, 0.0)
-        lcol = jnp.where(lanes == k, akk * inv_d, lcol)
-        lt_ref[:, pl.ds(k, 1), :] = lcol[:, None, :]
-        lmask = (lanes == k).astype(jnp.float32)
-        col_s = jnp.sum(work_ref[:, :, :] * lmask[:, None, :], axis=2,
-                        keepdims=True)                  # (BM, N, 1)
-        iv3 = inv_d[:, :, None]
-        lcol_s = jnp.where(sub3 > k, col_s * iv3, 0.0)  # L[i>k, k] on sublanes
+    def body(kk, _):
+        # TWO columns per iteration, ONE fused store each for work and W
+        # (r3, the same two-step derivation as the GJ/LU kernels): column
+        # k+1's values after column k's rank-1 downdate are register math
+        # — one scalar L[k+1,k] correction — so the latency-bound chain
+        # pays half the big-buffer stores.  n is tile-padded, hence even.
+        k = 2 * kk
+        # ---- column k ----
+        col1 = work_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, N) — row k = col k
+        akk1 = _lane_select(col1, k)
+        inv1 = 1.0 / jnp.sqrt(akk1)  # not lax.rsqrt: TPU rsqrt approximate
+        lcol1 = jnp.where(lanes > k, col1 * inv1, 0.0)
+        lcol1 = jnp.where(lanes == k, akk1 * inv1, lcol1)
+        lt_ref[:, pl.ds(k, 1), :] = lcol1[:, None, :]
+        lmask1 = (lanes == k).astype(jnp.float32)
+        col_s1 = jnp.sum(work_ref[:, :, :] * lmask1[:, None, :], axis=2,
+                         keepdims=True)                  # (BM, N, 1)
+        iv1_3 = inv1[:, :, None]
+        lcol_s1 = jnp.where(sub3 > k, col_s1 * iv1_3, 0.0)
+        lcol_s1d = lcol_s1 + jnp.where(sub3 == k, akk1[:, :, None] * iv1_3,
+                                       0.0)
+
+        # ---- column k+1, derived (no store in between) ----
+        l21 = _lane_select(col1, k + 1) * inv1           # L[k+1, k] (BM, 1)
+        col2 = (work_ref[:, pl.ds(k + 1, 1), :][:, 0, :] - l21 * lcol1)
+        akk2 = _lane_select(col2, k + 1)
+        inv2 = 1.0 / jnp.sqrt(akk2)
+        lcol2 = jnp.where(lanes > k + 1, col2 * inv2, 0.0)
+        lcol2 = jnp.where(lanes == k + 1, akk2 * inv2, lcol2)
+        lt_ref[:, pl.ds(k + 1, 1), :] = lcol2[:, None, :]
+        lmask2 = (lanes == k + 1).astype(jnp.float32)
+        col_s2 = (jnp.sum(work_ref[:, :, :] * lmask2[:, None, :], axis=2,
+                          keepdims=True)
+                  - lcol_s1d * l21[:, :, None])
+        iv2_3 = inv2[:, :, None]
+        lcol_s2 = jnp.where(sub3 > k + 1, col_s2 * iv2_3, 0.0)
+        lcol_s2d = lcol_s2 + jnp.where(sub3 == k + 1,
+                                       akk2[:, :, None] * iv2_3, 0.0)
+
+        # ---- fused trailing downdate: both rank-1 terms, one store ----
         work_ref[:, :, :] = (work_ref[:, :, :]
-                             - (lcol_s + jnp.where(sub3 == k,
-                                                   akk[:, :, None] * iv3, 0.0))
-                             * lcol[:, None, :])
-        # forward-substitution downdate of W with the same column copy:
-        # wrow = W[k, :] / L[k, k];  W[i>k, :] -= L[i, k] · wrow
-        wrow = w_ref[:, pl.ds(k, 1), :][:, 0, :] * inv_d
-        w_ref[:, :, :] = w_ref[:, :, :] - lcol_s * wrow[:, None, :]
-        w_ref[:, pl.ds(k, 1), :] = wrow[:, None, :]
+                             - lcol_s1d * lcol1[:, None, :]
+                             - lcol_s2d * lcol2[:, None, :])
+
+        # ---- fused forward-substitution downdate of W ----
+        wrow1 = w_ref[:, pl.ds(k, 1), :][:, 0, :] * inv1
+        wrow2 = (w_ref[:, pl.ds(k + 1, 1), :][:, 0, :]
+                 - l21 * wrow1) * inv2
+        w_ref[:, :, :] = (w_ref[:, :, :]
+                          - lcol_s1 * wrow1[:, None, :]
+                          - lcol_s2 * wrow2[:, None, :])
+        w_ref[:, pl.ds(k, 1), :] = wrow1[:, None, :]
+        w_ref[:, pl.ds(k + 1, 1), :] = wrow2[:, None, :]
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, n // 2, body, 0)
 
 
 _HI = jax.lax.Precision.HIGHEST  # true fp32 on the MXU (~6 bf16 passes; measured ~5.4x a one-pass matmul)
