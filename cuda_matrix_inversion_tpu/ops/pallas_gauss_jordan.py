@@ -43,7 +43,8 @@ from cuda_matrix_inversion_tpu.ops.pallas_common import (
 )
 
 
-def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref):
+def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref,
+                         *, steps: int = 2):
     """Swap-free transposed Gauss-Jordan (round-2 rewrite, 43.9 → 14.1 ms
     at 1600×128).
 
@@ -64,11 +65,23 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref):
     per matrix — the same batched-laswp trick as the LU kernel's
     per-panel permutation apply.  ``at_ref`` arrives pre-transposed (one
     XLA swapaxes outside the kernel, off the VMEM critical path).
+
+    ``steps`` pivot steps run per loop iteration with ONE fused
+    read-modify-write of the big augmented buffer (r3): at 1600×128 /
+    BM=32 this kernel is VMEM-bandwidth-bound — work is (BM, 2N, N) ≈
+    4 MB and the single-column body made 3 full passes per column
+    (pivot-row reduction, update read, update write).  Later columns'
+    pivot columns and pivot rows are DERIVED from the earlier steps'
+    rank-1 updates in (BM, N)/(BM, 2N, 1)-sized register math — the
+    per-column arithmetic is unchanged, only big-buffer traffic drops:
+    (steps + 2) / steps passes per column (1: 3.0, 2: 2.0, 4: 1.5).
+    n is tile-padded, so any power-of-two ``steps`` divides it.
     """
     bm, n, _ = at_ref.shape
     w2 = 2 * n
 
     lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
+    lanes_f = lanes_n.astype(jnp.float32)
     iota_nn_l = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
 
     # work = [A | I] transposed
@@ -80,65 +93,48 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref):
     pidx_ref[:, :] = jnp.zeros((bm, n), jnp.float32)
 
     def body(kk, _):
-        # TWO pivot steps per iteration, ONE read-modify-write of the big
-        # augmented buffer (r3): at 1600×128 / BM=32 this kernel is
-        # VMEM-bandwidth-bound — work is (BM, 2N, N) ≈ 4 MB and the
-        # single-column body made 3 full passes per column (pivot-row
-        # reduction, update read, update write).  Column k+1's pivot
-        # column and pivot row are DERIVED from column k's rank-1 step in
-        # (BM, N)/(BM, 2N, 1)-sized register math, so two eliminations
-        # cost 4 passes instead of 6.  n is tile-padded, hence even.
-        k = 2 * kk
-        # ---- step 1: column k (classical swap-free pivoting) ----
-        col1 = work_ref[:, pl.ds(k, 1), :][:, 0, :]          # (BM, N)
-        cand1 = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col1), -1.0)
-        p1 = jnp.argmax(cand1, axis=1).astype(jnp.int32)
-        pm1 = (lanes_n == p1[:, None]).astype(jnp.float32)
-        used_ref[:, :] = used_ref[:, :] + pm1
-        km1 = (lanes_n == k).astype(jnp.float32)
-        # record p_k (float via masked iota sum: Mosaic rejects sitofp of
-        # the argmax vector)
-        p1f = jnp.sum(lanes_n.astype(jnp.float32) * pm1, axis=1,
-                      keepdims=True)                         # (BM, 1)
-        pidx_ref[:, :] = pidx_ref[:, :] + km1 * (p1f - pidx_ref[:, :])
-        piv1 = jnp.sum(col1 * pm1, axis=1, keepdims=True)    # (BM, 1)
-        rowp1 = jnp.sum(work_ref[:, :, :] * pm1[:, None, :], axis=2,
-                        keepdims=True)                       # (BM, 2N, 1)
-        rn1 = rowp1 / piv1[:, :, None]
-        f1 = col1 * (1.0 - pm1)                              # no self-elim
+        k = steps * kk
+        pms, rns, fs, pivs = [], [], [], []
+        for t in range(steps):  # unrolled at trace time
+            # column k+t, with steps < t applied in register math
+            c = work_ref[:, pl.ds(k + t, 1), :][:, 0, :]     # (BM, N)
+            for i in range(t):
+                a = jnp.sum(c * pms[i], axis=1, keepdims=True) / pivs[i]
+                c = (c - a * fs[i]) * (1.0 - pms[i]) + a * pms[i]
+            cand = jnp.where(used_ref[:, :] == 0.0, jnp.abs(c), -1.0)
+            p = jnp.argmax(cand, axis=1).astype(jnp.int32)
+            pm = (lanes_n == p[:, None]).astype(jnp.float32)
+            used_ref[:, :] = used_ref[:, :] + pm
+            km = (lanes_n == (k + t)).astype(jnp.float32)
+            # record p_{k+t} (float via masked iota sum: Mosaic rejects
+            # sitofp of the argmax vector)
+            pf = jnp.sum(lanes_f * pm, axis=1, keepdims=True)  # (BM, 1)
+            pidx_ref[:, :] = pidx_ref[:, :] + km * (pf - pidx_ref[:, :])
+            piv = jnp.sum(c * pm, axis=1, keepdims=True)       # (BM, 1)
+            # pivot row: one full-buffer masked reduction, then the
+            # earlier steps' rank-1 terms (p ≠ any earlier pivot, so the
+            # pivot-lane branch never applies — linear accumulation)
+            rowp = jnp.sum(work_ref[:, :, :] * pm[:, None, :], axis=2,
+                           keepdims=True)                      # (BM, 2N, 1)
+            for i in range(t):
+                s = jnp.sum(fs[i] * pm, axis=1, keepdims=True)
+                rowp = rowp - rns[i] * s[:, :, None]
+            rn = rowp / piv[:, :, None]
+            f = c * (1.0 - pm)                                 # no self-elim
+            pms.append(pm)
+            rns.append(rn)
+            fs.append(f)
+            pivs.append(piv)
 
-        # ---- step 2: column k+1, derived without storing step 1 ----
-        col2_raw = work_ref[:, pl.ds(k + 1, 1), :][:, 0, :]
-        a1 = jnp.sum(col2_raw * pm1, axis=1, keepdims=True)  # work[p1, k+1]
-        rn1k1 = a1 / piv1                                    # normalized
-        col2 = (col2_raw - rn1k1 * f1) * (1.0 - pm1) + rn1k1 * pm1
-        cand2 = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col2), -1.0)
-        p2 = jnp.argmax(cand2, axis=1).astype(jnp.int32)
-        pm2 = (lanes_n == p2[:, None]).astype(jnp.float32)
-        used_ref[:, :] = used_ref[:, :] + pm2
-        km2 = (lanes_n == (k + 1)).astype(jnp.float32)
-        p2f = jnp.sum(lanes_n.astype(jnp.float32) * pm2, axis=1,
-                      keepdims=True)
-        pidx_ref[:, :] = pidx_ref[:, :] + km2 * (p2f - pidx_ref[:, :])
-        piv2 = jnp.sum(col2 * pm2, axis=1, keepdims=True)
-        # row p2 after step 1: p2 ≠ p1, so only the rank-1 term applies
-        rowp2_raw = jnp.sum(work_ref[:, :, :] * pm2[:, None, :], axis=2,
-                            keepdims=True)
-        s2 = jnp.sum(f1 * pm2, axis=1, keepdims=True)        # f1 at lane p2
-        rowp2 = rowp2_raw - rn1 * s2[:, :, None]
-        rn2 = rowp2 / piv2[:, :, None]
-        f2 = col2 * (1.0 - pm2)
-
-        # ---- ONE fused read-modify-write applying both rank-1 steps ----
-        p1_3 = pm1[:, None, :]
-        p2_3 = pm2[:, None, :]
+        # ---- ONE fused read-modify-write applying all rank-1 steps ----
         w = work_ref[:, :, :]
-        w1 = (w - rn1 * f1[:, None, :]) * (1.0 - p1_3) + rn1 * p1_3
-        work_ref[:, :, :] = ((w1 - rn2 * f2[:, None, :]) * (1.0 - p2_3)
-                             + rn2 * p2_3)
+        for pm, rn, f in zip(pms, rns, fs):
+            pm3 = pm[:, None, :]
+            w = (w - rn * f[:, None, :]) * (1.0 - pm3) + rn * pm3
+        work_ref[:, :, :] = w
         return 0
 
-    jax.lax.fori_loop(0, n // 2, body, 0)
+    jax.lax.fori_loop(0, n // steps, body, 0)
 
     # A⁻¹[k, c] = R[p_k, c]: one-hot contraction over the lane (row) dim,
     # exact 0/1 arithmetic under HIGHEST precision
@@ -158,9 +154,10 @@ def _mm(lhs, rhs, contract=((1,), (0,))):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "steps"))
 def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
-                         interpret: bool | None = None) -> jnp.ndarray:
+                         interpret: bool | None = None,
+                         steps: int = 2) -> jnp.ndarray:
     """Batched general-matrix inversion with partial pivoting, one launch.
 
     Drop-in for the reference's ``inverse_gauss_batched_gpu``
@@ -205,8 +202,11 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
     # kernel wants rows on lanes — see _gauss_jordan_kernel)
     at = jnp.swapaxes(a_p, -1, -2)
 
+    if steps not in (1, 2, 4, 8) or n % steps:
+        raise ValueError(f"steps={steps} must be a power of two dividing "
+                         f"the padded dim {n}")
     out = pl.pallas_call(
-        _gauss_jordan_kernel,
+        functools.partial(_gauss_jordan_kernel, steps=steps),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],

@@ -43,6 +43,26 @@ def test_gj_general_nonsymmetric(rng):
     assert _identity_err_inf(g, inv) < 1e-2  # random matrices: modest kappa
 
 
+@pytest.mark.parametrize("steps", [1, 4])
+def test_gj_steps_variants_agree(steps, rng):
+    # the fused multi-column body (steps=2 default) is algebraically the
+    # same elimination for any steps; pivot choices are identical, so the
+    # results agree to roundoff
+    a = make_spd_batch(4, 32, rng).astype(np.float32)
+    base = np.asarray(inverse_gauss_jordan(a))
+    var = np.asarray(inverse_gauss_jordan(a, steps=steps))
+    assert _identity_err_inf(a, var) < 1e-4
+    np.testing.assert_allclose(var, base, rtol=1e-4, atol=1e-5)
+
+
+def test_gj_steps_general_pivoting(rng):
+    # steps=4 with nontrivial pivoting on a general matrix
+    g = rng.standard_normal((4, 24, 24)).astype(np.float32)
+    base = np.asarray(inverse_gauss_jordan(g))
+    var = np.asarray(inverse_gauss_jordan(g, steps=4))
+    np.testing.assert_allclose(var, base, rtol=1e-3, atol=1e-4)
+
+
 def test_gj_mixed_batch_pivot_divergence(rng):
     # each matrix picks a different pivot row at step 0 — exercises the
     # per-matrix one-hot swap logic
