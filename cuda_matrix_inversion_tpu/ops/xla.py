@@ -88,6 +88,27 @@ def inverse_cholesky(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(jnp.swapaxes(w, -1, -2), w, precision=_PREC)
 
 
+def spd_logdet(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched log|A| for SPD batches via Cholesky: 2·Σ log L_ii.
+
+    Beyond-parity capability (the reference computes no determinants):
+    the natural companion of the GP pipelines — log-marginal-likelihood
+    needs log|K| — and free given the factorization the solve already
+    does.  Returns (batch,) in the input dtype's precision domain.
+    """
+    l = cholesky(a)
+    diag = jnp.diagonal(l, axis1=-2, axis2=-1)
+    return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def lu_logdet(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched (sign, log|A|) for GENERAL batches via LU with pivoting —
+    the non-SPD sibling of :func:`spd_logdet`.  Same contract as
+    ``numpy.linalg.slogdet``."""
+    sign, logdet = jnp.linalg.slogdet(a)
+    return sign, logdet
+
+
 def lu_solve(a: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Batched general solve AX = RHS via LU, no explicit inverse — the
     general-matrix sibling of :func:`spd_solve` (the reference only ships

@@ -122,3 +122,56 @@ def test_inverse_lu_large_n_polished_gate(rng):
     s = np.ones((1, 256, 256), np.float32)
     xs = np.asarray(xla.inverse_lu(jnp.asarray(s)))
     assert not np.isfinite(xs).all()
+
+
+def test_spd_logdet_matches_slogdet(rng):
+    a = make_spd_batch(6, 32, rng).astype(np.float32)
+    out = np.asarray(ops.spd_logdet(jnp.asarray(a)))
+    _, expect = np.linalg.slogdet(a.astype(np.float64))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_lu_logdet_general_with_sign(rng):
+    g = rng.standard_normal((6, 16, 16)).astype(np.float32)
+    sign, logdet = (np.asarray(x) for x in ops.lu_logdet(jnp.asarray(g)))
+    esign, elog = np.linalg.slogdet(g.astype(np.float64))
+    np.testing.assert_allclose(sign, esign)
+    np.testing.assert_allclose(logdet, elog, rtol=1e-3, atol=1e-3)
+
+
+def test_gp_log_marginal_likelihood_closed_form(rng):
+    batch, n = 5, 24
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32) + 0.5
+    d = rng.standard_normal((batch, n, 1)).astype(np.float32)
+    out = np.asarray(gp.gp_log_marginal_likelihood(*map(jnp.asarray, (b, c, d))))
+    k = b.astype(np.float64) + np.eye(n) * c[:, :, 0][:, None, :]
+    kinv = np.linalg.inv(k)
+    quad = (np.transpose(d, (0, 2, 1)).astype(np.float64) @ kinv
+            @ d.astype(np.float64))[:, 0, 0]
+    _, logdet = np.linalg.slogdet(k)
+    expect = -0.5 * (quad + logdet + n * np.log(2 * np.pi))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-3)
+
+
+def test_gp_log_marginal_likelihood_grad(rng):
+    # kernel-learning composition: grad wrt the noise column exists and
+    # matches a central difference in fp64 (x64 is enabled per-test via
+    # the CPU backend config; here fp32 + loose tol suffices)
+    import jax
+
+    batch, n = 2, 8
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32) + 1.0
+    d = rng.standard_normal((batch, n, 1)).astype(np.float32)
+
+    def loss(cv):
+        return jnp.sum(gp.gp_log_marginal_likelihood(
+            jnp.asarray(b), cv, jnp.asarray(d)))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(c)))
+    eps = 1e-2
+    e0 = np.zeros_like(c)
+    e0[0, 0, 0] = eps
+    fd = (float(loss(jnp.asarray(c + e0))) - float(loss(jnp.asarray(c - e0)))) / (2 * eps)
+    np.testing.assert_allclose(g[0, 0, 0], fd, rtol=2e-2, atol=2e-3)
