@@ -146,7 +146,8 @@ def _triangular_inverse_body(n: int, lt_ref, w_ref, nat_ref=None):
     jax.lax.fori_loop(0, n, body, 0)
 
 
-def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref):
+def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref,
+                                  steps: int = 2):
     """Fused factorization + triangular inverse: ONE sequential loop
     computes column k of L and immediately applies the forward-substitution
     downdate to W, reusing the sublane column copy the rank-1 trailing
@@ -156,6 +157,13 @@ def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref):
     and 12.4 → 4.9 ms combined with the relayout removal and BM 24→32).
     ``work_ref`` is destroyed; ``lt_ref`` gets rows of Lᵀ; ``w_ref`` gets
     W = L⁻¹.
+
+    ``steps`` columns run per loop iteration with ONE fused store each
+    for work and W (r3, the same multi-step derivation as the GJ/LU
+    kernels): later columns' values after the earlier rank-1 downdates
+    are register math — one scalar L[k+t, k+i] correction per earlier
+    step — so the latency-bound chain pays 1/steps of the big-buffer
+    stores.  n is tile-padded, so any power-of-two ``steps`` divides it.
     """
     bm = work_ref.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
@@ -165,61 +173,60 @@ def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref):
     w_ref[:, :, :] = jnp.broadcast_to(eye, (bm, n, n))
 
     def body(kk, _):
-        # TWO columns per iteration, ONE fused store each for work and W
-        # (r3, the same two-step derivation as the GJ/LU kernels): column
-        # k+1's values after column k's rank-1 downdate are register math
-        # — one scalar L[k+1,k] correction — so the latency-bound chain
-        # pays half the big-buffer stores.  n is tile-padded, hence even.
-        k = 2 * kk
-        # ---- column k ----
-        col1 = work_ref[:, pl.ds(k, 1), :][:, 0, :]  # (BM, N) — row k = col k
-        akk1 = _lane_select(col1, k)
-        inv1 = 1.0 / jnp.sqrt(akk1)  # not lax.rsqrt: TPU rsqrt approximate
-        lcol1 = jnp.where(lanes > k, col1 * inv1, 0.0)
-        lcol1 = jnp.where(lanes == k, akk1 * inv1, lcol1)
-        lt_ref[:, pl.ds(k, 1), :] = lcol1[:, None, :]
-        lmask1 = (lanes == k).astype(jnp.float32)
-        col_s1 = jnp.sum(work_ref[:, :, :] * lmask1[:, None, :], axis=2,
-                         keepdims=True)                  # (BM, N, 1)
-        iv1_3 = inv1[:, :, None]
-        lcol_s1 = jnp.where(sub3 > k, col_s1 * iv1_3, 0.0)
-        lcol_s1d = lcol_s1 + jnp.where(sub3 == k, akk1[:, :, None] * iv1_3,
-                                       0.0)
+        k = steps * kk
+        cols, invs, lcols, lcol_ss, lcol_sds, wrows = [], [], [], [], [], []
+        for t in range(steps):  # unrolled at trace time
+            # ---- column k+t, earlier downdates applied in registers ----
+            c = work_ref[:, pl.ds(k + t, 1), :][:, 0, :]  # row k+t = col k+t
+            lts = []  # L[k+t, k+i] for i < t
+            for i in range(t):
+                l_ti = _lane_select(cols[i], k + t) * invs[i]
+                lts.append(l_ti)
+                c = c - l_ti * lcols[i]
+            akk = _lane_select(c, k + t)
+            inv = 1.0 / jnp.sqrt(akk)  # not lax.rsqrt: TPU rsqrt approximate
+            lcol = jnp.where(lanes > k + t, c * inv, 0.0)
+            lcol = jnp.where(lanes == k + t, akk * inv, lcol)
+            lt_ref[:, pl.ds(k + t, 1), :] = lcol[:, None, :]
+            lmask = (lanes == (k + t)).astype(jnp.float32)
+            # sublane copy of the column, earlier downdates applied:
+            # work column k+t after step i loses lcol_s_i_d · L[k+t, k+i]
+            col_s = jnp.sum(work_ref[:, :, :] * lmask[:, None, :], axis=2,
+                            keepdims=True)                 # (BM, N, 1)
+            for i in range(t):
+                col_s = col_s - lcol_sds[i] * lts[i][:, :, None]
+            iv3 = inv[:, :, None]
+            lcol_s = jnp.where(sub3 > k + t, col_s * iv3, 0.0)
+            lcol_sd = lcol_s + jnp.where(sub3 == k + t,
+                                         akk[:, :, None] * iv3, 0.0)
+            # W row k+t with earlier forward-substitution steps applied
+            wrow = w_ref[:, pl.ds(k + t, 1), :][:, 0, :]
+            for i in range(t):
+                wrow = wrow - lts[i] * wrows[i]
+            wrow = wrow * inv
+            cols.append(c)
+            invs.append(inv)
+            lcols.append(lcol)
+            lcol_ss.append(lcol_s)
+            lcol_sds.append(lcol_sd)
+            wrows.append(wrow)
 
-        # ---- column k+1, derived (no store in between) ----
-        l21 = _lane_select(col1, k + 1) * inv1           # L[k+1, k] (BM, 1)
-        col2 = (work_ref[:, pl.ds(k + 1, 1), :][:, 0, :] - l21 * lcol1)
-        akk2 = _lane_select(col2, k + 1)
-        inv2 = 1.0 / jnp.sqrt(akk2)
-        lcol2 = jnp.where(lanes > k + 1, col2 * inv2, 0.0)
-        lcol2 = jnp.where(lanes == k + 1, akk2 * inv2, lcol2)
-        lt_ref[:, pl.ds(k + 1, 1), :] = lcol2[:, None, :]
-        lmask2 = (lanes == k + 1).astype(jnp.float32)
-        col_s2 = (jnp.sum(work_ref[:, :, :] * lmask2[:, None, :], axis=2,
-                          keepdims=True)
-                  - lcol_s1d * l21[:, :, None])
-        iv2_3 = inv2[:, :, None]
-        lcol_s2 = jnp.where(sub3 > k + 1, col_s2 * iv2_3, 0.0)
-        lcol_s2d = lcol_s2 + jnp.where(sub3 == k + 1,
-                                       akk2[:, :, None] * iv2_3, 0.0)
-
-        # ---- fused trailing downdate: both rank-1 terms, one store ----
-        work_ref[:, :, :] = (work_ref[:, :, :]
-                             - lcol_s1d * lcol1[:, None, :]
-                             - lcol_s2d * lcol2[:, None, :])
+        # ---- fused trailing downdate: all rank-1 terms, one store ----
+        wv = work_ref[:, :, :]
+        for lcol_sd, lcol in zip(lcol_sds, lcols):
+            wv = wv - lcol_sd * lcol[:, None, :]
+        work_ref[:, :, :] = wv
 
         # ---- fused forward-substitution downdate of W ----
-        wrow1 = w_ref[:, pl.ds(k, 1), :][:, 0, :] * inv1
-        wrow2 = (w_ref[:, pl.ds(k + 1, 1), :][:, 0, :]
-                 - l21 * wrow1) * inv2
-        w_ref[:, :, :] = (w_ref[:, :, :]
-                          - lcol_s1 * wrow1[:, None, :]
-                          - lcol_s2 * wrow2[:, None, :])
-        w_ref[:, pl.ds(k, 1), :] = wrow1[:, None, :]
-        w_ref[:, pl.ds(k + 1, 1), :] = wrow2[:, None, :]
+        w = w_ref[:, :, :]
+        for lcol_s, wrow in zip(lcol_ss, wrows):
+            w = w - lcol_s * wrow[:, None, :]
+        w_ref[:, :, :] = w
+        for t, wrow in enumerate(wrows):
+            w_ref[:, pl.ds(k + t, 1), :] = wrow[:, None, :]
         return 0
 
-    jax.lax.fori_loop(0, n // 2, body, 0)
+    jax.lax.fori_loop(0, n // steps, body, 0)
 
 
 _HI = jax.lax.Precision.HIGHEST  # true fp32 on the MXU (~6 bf16 passes; measured ~5.4x a one-pass matmul)
@@ -234,11 +241,12 @@ def _mm(lhs, rhs, contract=((1,), (0,))):
     )
 
 
-def _chol_inverse_kernel(a_ref, out_ref, work_ref, l_ref, w_ref):
+def _chol_inverse_kernel(a_ref, out_ref, work_ref, l_ref, w_ref,
+                         steps: int = 2):
     """Naive (rank-1) path — used for small N where blocking can't help."""
     n = a_ref.shape[-1]
     work_ref[:, :, :] = a_ref[:, :, :]
-    _cholesky_factor_inverse_body(n, work_ref, l_ref, w_ref)
+    _cholesky_factor_inverse_body(n, work_ref, l_ref, w_ref, steps=steps)
     # A⁻¹ = Wᵀ W — per-matrix 2D MXU matmuls (Mosaic's dot wants rank 2)
     bm = a_ref.shape[0]
     for b in range(bm):
@@ -247,7 +255,7 @@ def _chol_inverse_kernel(a_ref, out_ref, work_ref, l_ref, w_ref):
 
 
 def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
-                  dws_ref):
+                  dws_ref, steps: int = 2):
     """Blocked factor + triangular inverse: fills ``lt_ref`` (rows of Lᵀ)
     and ``w_ref`` (W = L⁻¹) from the symmetric matrix in ``work_ref``
     (destroyed).  Shared by the inverse kernel and the fused GP kernel."""
@@ -262,7 +270,8 @@ def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
         k0 = p * pw
         dblk_ref[:, :, :] = work_ref[:, k0:k0 + pw, k0:k0 + pw]
         # fused: one sequential loop yields both Ld (dlt) and Ld⁻¹ (dw)
-        _cholesky_factor_inverse_body(pw, dblk_ref, dlt_ref, dw_ref)
+        _cholesky_factor_inverse_body(pw, dblk_ref, dlt_ref, dw_ref,
+                                      steps=steps)
         dws_ref[:, k0:k0 + pw, :] = dw_ref[:, :, :]
         tri_mask = lane_n >= (sub_pw + k0)  # lower-tri in Lᵀ row space
         for b in range(bm):
@@ -289,8 +298,9 @@ def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
             w_ref[b, k0:k0 + pw, :] = _mm(dws_ref[b, k0:k0 + pw, :], rhs)
 
 
-def _blocked_chol_inverse_kernel(pw: int, a_ref, out_ref, work_ref, lt_ref,
-                                 dblk_ref, dlt_ref, dw_ref, dws_ref):
+def _blocked_chol_inverse_kernel(pw: int, steps: int, a_ref, out_ref,
+                                 work_ref, lt_ref, dblk_ref, dlt_ref,
+                                 dw_ref, dws_ref):
     """Blocked SPD inverse: two-level blocking so the O(n³) work rides the
     MXU instead of per-column VPU passes.
 
@@ -317,7 +327,7 @@ def _blocked_chol_inverse_kernel(pw: int, a_ref, out_ref, work_ref, lt_ref,
     # letting the batch block grow); phase 3 reads W[b] as a value before
     # overwriting that slot.
     _blocked_lt_w(pw, work_ref, lt_ref, out_ref, dblk_ref, dlt_ref, dw_ref,
-                  dws_ref)
+                  dws_ref, steps=steps)
     # ---- Phase 3: A⁻¹ = Wᵀ W ----
     for b in range(bm):
         w_b = out_ref[b, :, :]
@@ -351,9 +361,10 @@ def _panel_width(n: int) -> int | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "steps"))
 def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
-                     interpret: bool | None = None) -> jnp.ndarray:
+                     interpret: bool | None = None,
+                     steps: int = 2) -> jnp.ndarray:
     """Batched SPD inversion, one fused Pallas launch.
 
     Drop-in for :func:`cuda_matrix_inversion_tpu.ops.xla.inverse_cholesky`
@@ -420,11 +431,14 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         bm = 32
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
+    if steps not in (1, 2, 4, 8) or (pw or n) % steps:
+        raise ValueError(f"steps={steps} must be a power of two dividing "
+                         f"the column-loop width {pw or n}")
     if pw is None:
-        kernel = _chol_inverse_kernel
+        kernel = functools.partial(_chol_inverse_kernel, steps=steps)
         scratch = [pltpu.VMEM((bm, n, n), jnp.float32)] * 3
     else:
-        kernel = functools.partial(_blocked_chol_inverse_kernel, pw)
+        kernel = functools.partial(_blocked_chol_inverse_kernel, pw, steps)
         scratch = [
             pltpu.VMEM((bm, n, n), jnp.float32),   # work
             pltpu.VMEM((bm, n, n), jnp.float32),   # lt  (W aliases out_ref)

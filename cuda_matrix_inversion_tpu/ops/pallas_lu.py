@@ -77,7 +77,7 @@ from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
 
 
 def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
-                           used_ref):
+                           used_ref, steps: int = 2):
     """Pivoted rank-1 factorization of one panel, TRANSPOSED layout,
     with NO physical row swaps (r3 rewrite of ``_panel_factor_body_t`` —
     VERDICT r2 next #9: the per-column latency chain).
@@ -113,65 +113,61 @@ def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
     dest_ref[:, :] = lanes_n.astype(jnp.float32)
 
     def body(jj, _):
-        # TWO pivot columns per iteration, ONE fused panel store (the
-        # same derivation as the GJ kernel's two-step body): the panel
-        # chain is latency-bound, so halving the store/loop count per
-        # column shortens the sequential critical path.  pw ∈ {8,16,32}
-        # is always even.
-        j = 2 * jj
-        g = k0 + j
-        # ---- step 1: column j ----
-        col1 = pcT_ref[:, pl.ds(j, 1), :][:, 0, :]            # (BM, N)
-        cand1 = jnp.where(used_ref[:, :] == 0.0, jnp.abs(col1), -1.0)
-        p1 = jnp.argmax(cand1, axis=1).astype(jnp.int32)
-        pm1 = (lanes_n == p1[:, None]).astype(jnp.float32)
-        used1 = used_ref[:, :] + pm1
-        dest_ref[:, :] = dest_ref[:, :] + pm1 * (g - dest_ref[:, :])
-        piv1 = jnp.sum(col1 * pm1, axis=1, keepdims=True)     # (BM, 1)
-        # pivot row's panel entries: cross-lane masked sum (BM, pw, 1)
-        colp1 = jnp.sum(pcT_ref[:, :, :] * pm1[:, None, :], axis=2,
-                        keepdims=True)
-        e1 = 1.0 - used1                       # rows still awaiting a pivot
-        mult1 = e1 * col1 / piv1               # (BM, N); 0 on done rows
+        # ``steps`` pivot columns per iteration, ONE fused panel store
+        # (the same derivation as the GJ kernel's multi-step body): the
+        # panel chain is latency-bound, so cutting the store/loop count
+        # per column shortens the sequential critical path.  Later
+        # columns' pivot columns (and the pivot rows' panel entries) are
+        # derived from the earlier steps' rank-1 updates in
+        # (BM, N)/(BM, pw, 1)-sized register math.  pw ∈ {8,16,32}, so
+        # any power-of-two ``steps`` divides it.
+        j = steps * jj
+        pms, colps, es, mults, gts, eqs = [], [], [], [], [], []
+        for t in range(steps):  # unrolled at trace time
+            # column j+t with steps < t applied (mult_i is 0 on rows
+            # already pivoted, so pivot rows keep their U values)
+            c = pcT_ref[:, pl.ds(j + t, 1), :][:, 0, :]       # (BM, N)
+            for i in range(t):
+                a = jnp.sum(c * pms[i], axis=1, keepdims=True)  # row p_i
+                c = c - a * mults[i]
+            cand = jnp.where(used_ref[:, :] == 0.0, jnp.abs(c), -1.0)
+            p = jnp.argmax(cand, axis=1).astype(jnp.int32)
+            pm = (lanes_n == p[:, None]).astype(jnp.float32)
+            used = used_ref[:, :] + pm
+            used_ref[:, :] = used
+            dest_ref[:, :] = dest_ref[:, :] + pm * (k0 + j + t
+                                                    - dest_ref[:, :])
+            piv = jnp.sum(c * pm, axis=1, keepdims=True)      # (BM, 1)
+            # pivot row's panel entries: cross-lane masked sum, then the
+            # earlier steps applied (p unused throughout them: eliminated
+            # right of j+i, multiplier m written at sublane j+i)
+            cp = jnp.sum(pcT_ref[:, :, :] * pm[:, None, :], axis=2,
+                         keepdims=True)                       # (BM, pw, 1)
+            for i in range(t):
+                m = jnp.sum(mults[i] * pm, axis=1, keepdims=True)[:, :, None]
+                cp = cp - colps[i] * m * gts[i]
+                cp = cp + eqs[i] * (m - cp)
+            e = 1.0 - used                     # rows still awaiting a pivot
+            mult = e * c / piv                 # (BM, N); 0 on done rows
+            pms.append(pm)
+            colps.append(cp)
+            es.append(e)
+            mults.append(mult)
+            gts.append((sub_pw > j + t).astype(jnp.float32))
+            eqs.append((sub_pw == j + t).astype(jnp.float32))
 
-        # ---- step 2: column j+1, derived without storing step 1 ----
-        col2_raw = pcT_ref[:, pl.ds(j + 1, 1), :][:, 0, :]
-        a1 = jnp.sum(col2_raw * pm1, axis=1, keepdims=True)   # row p1 @ j+1
-        col2 = col2_raw - a1 * mult1           # step-1 elimination applied
-        cand2 = jnp.where(used1 == 0.0, jnp.abs(col2), -1.0)
-        p2 = jnp.argmax(cand2, axis=1).astype(jnp.int32)
-        pm2 = (lanes_n == p2[:, None]).astype(jnp.float32)
-        used2 = used1 + pm2
-        used_ref[:, :] = used2
-        dest_ref[:, :] = dest_ref[:, :] + pm2 * (g + 1 - dest_ref[:, :])
-        piv2 = jnp.sum(col2 * pm2, axis=1, keepdims=True)
-        # row p2's panel entries after step 1: eliminated right of j,
-        # multiplier m12 written at sublane j (p2 was unused during step 1)
-        m12 = jnp.sum(mult1 * pm2, axis=1, keepdims=True)     # (BM, 1)
-        colp2_raw = jnp.sum(pcT_ref[:, :, :] * pm2[:, None, :], axis=2,
-                            keepdims=True)
-        gtj = (sub_pw > j).astype(jnp.float32)
-        eqj = (sub_pw == j).astype(jnp.float32)
-        m12_3 = m12[:, :, None]
-        colp2 = (colp2_raw - colp1 * m12_3 * gtj
-                 + eqj * (m12_3 - colp2_raw))
-        e2 = 1.0 - used2
-        mult2 = e2 * col2 / piv2
-
-        # ---- ONE fused store: both eliminations + both compact-L
+        # ---- ONE fused store: all eliminations + all compact-L
         # multiplier writes (the eliminated value at the pivot sublane is
         # an exact 0 in infinite precision — store the multiplier) ----
-        m1_3 = mult1[:, None, :]
-        m2_3 = mult2[:, None, :]
-        t = pcT_ref[:, :, :] - colp1 * gtj * m1_3
-        t = t + eqj * e1[:, None, :] * (m1_3 - t)
-        t = t - colp2 * (sub_pw > j + 1).astype(jnp.float32) * m2_3
-        t = (t + (sub_pw == j + 1).astype(jnp.float32)
-             * e2[:, None, :] * (m2_3 - t))
-        pcT_ref[:, :, :] = t
+        v = pcT_ref[:, :, :]
+        for cp, e, mult, gt, eq in zip(colps, es, mults, gts, eqs):
+            m3 = mult[:, None, :]
+            v = v - cp * gt * m3
+            v = v + eq * e[:, None, :] * (m3 - v)
+        pcT_ref[:, :, :] = v
         return 0
 
-    jax.lax.fori_loop(0, pw // 2, body, 0)
+    jax.lax.fori_loop(0, pw // steps, body, 0)
 
     # complete the destination bijection: unused rows go to k1.. in
     # original-index order; rank via one MXU matmul (strict-lower ones)
@@ -184,9 +180,10 @@ def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
                       + unused * ((k0 + pw) + rank - dest_ref[:, :]))
 
 
-def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcT_ref,
-                               tri_ref, tinv_ref, tnat_ref, ldws_ref,
-                               udws_ref, pidx_ref, gidx_ref, used_ref):
+def _blocked_lu_inverse_kernel(pw: int, steps: int, a_ref, out_ref,
+                               work_ref, pcT_ref, tri_ref, tinv_ref,
+                               tnat_ref, ldws_ref, udws_ref, pidx_ref,
+                               gidx_ref, used_ref):
     """getrf + getri fused: factor A in VMEM with the permutation kept as
     an index vector, then A⁻¹ = U⁻¹·(L⁻¹P).  The panel scratch is the
     TRANSPOSED (BM, pw, N) swap-free layout of
@@ -212,7 +209,8 @@ def _blocked_lu_inverse_kernel(pw: int, a_ref, out_ref, work_ref, pcT_ref,
         k1 = k0 + pw
         for b in range(bm):
             pcT_ref[b, :, :] = work_ref[b, :, k0:k1].T
-        _panel_factor_swapfree(pw, k0, n, pcT_ref, pidx_ref, used_ref)
+        _panel_factor_swapfree(pw, k0, n, pcT_ref, pidx_ref, used_ref,
+                               steps=steps)
         # write the scattered factored panel back, then unscatter the
         # WHOLE work buffer (panel included) with ONE one-hot MXU matmul
         # per matrix (batched laswp): pidx holds each source row's
@@ -313,9 +311,9 @@ def _panel_width(n: int) -> int | None:
 _VMEM_MAX_N = 256
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "steps"))
 def inverse_lu(a: jnp.ndarray, block: int | None = None,
-               interpret: bool | None = None) -> jnp.ndarray:
+               interpret: bool | None = None, steps: int = 2) -> jnp.ndarray:
     """Batched general-matrix LU inversion with partial pivoting, one launch.
 
     Drop-in for the reference's fastest path ``inverse_lu_cuda_batched_gpu``
@@ -367,8 +365,11 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
     a_p, orig = pad_batch(a, bm)
     grid = a_p.shape[0] // bm
 
+    if steps not in (1, 2, 4, 8) or pw % steps:
+        raise ValueError(f"steps={steps} must be a power of two dividing "
+                         f"the panel width {pw}")
     out = pl.pallas_call(
-        functools.partial(_blocked_lu_inverse_kernel, pw),
+        functools.partial(_blocked_lu_inverse_kernel, pw, steps),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],

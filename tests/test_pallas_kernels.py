@@ -39,6 +39,19 @@ def test_pallas_inverse_blocked_path(n, rng):
     assert _identity_err_inf(a, inv) < 1e-4
 
 
+@pytest.mark.parametrize("steps", [1, 4])
+@pytest.mark.parametrize("n", [16, 64])
+def test_pallas_cholesky_steps_variants(steps, n, rng):
+    # the fused multi-column body (steps=2 default) is the same
+    # factorization for any steps — naive (n=16) and blocked (n=64,
+    # pw=32 diagonal blocks) paths agree with the default to roundoff
+    a = make_spd_batch(4, n, rng).astype(np.float32)
+    base = np.asarray(pc.inverse_cholesky(a))
+    var = np.asarray(pc.inverse_cholesky(a, steps=steps))
+    np.testing.assert_allclose(var, base, rtol=1e-4, atol=1e-5)
+    assert _identity_err_inf(a, var) < 1e-4
+
+
 def test_pallas_cholesky_block_escape_hatch(rng):
     # n > 128 routes through the Schur recursion by default (the direct
     # kernel is scoped-VMEM-marginal there); an explicit block= keeps the
@@ -270,6 +283,20 @@ def test_pallas_lu_general_with_pivoting(n):
     # (measured 2-6x; explicit panel-triangular inverses vs true trsm)
     lapack = _identity_err_inf(a, np.linalg.inv(a))
     assert _identity_err_inf(a, inv) < max(8 * lapack, 1e-5)
+
+
+@pytest.mark.parametrize("steps", [1, 4])
+def test_pallas_lu_panel_steps_variants(steps):
+    # the fused multi-column panel body (steps=2 default) runs the same
+    # elimination with identical pivot choices for any steps, so results
+    # agree to roundoff (n=32 -> pw=16, divisible by 4)
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    a = _general_batch(4, 32)
+    base = np.asarray(pallas_lu.inverse_lu(a))
+    var = np.asarray(pallas_lu.inverse_lu(a, steps=steps))
+    np.testing.assert_allclose(var, base, rtol=1e-3, atol=1e-4)
+    assert _identity_err_inf(a, var) < 1e-4
 
 
 def test_pallas_lu_spd_fixture_gate(rng):

@@ -110,6 +110,65 @@ PYEOF
     checkpoint
 fi
 
+# ---- 2c. LU panel steps=4 experiment (latency-bound chain: quarter the
+# fused stores/loop iterations per column) --------------------------------
+if ! stage_done ab_lu_steps4; then
+    say "stage ab_lu_steps4"
+    if python - >> results/kernel-ab-r3.jsonl 2> "$STATE/ab_lu_steps4.log" <<'PYEOF'
+import functools, json
+import numpy as np
+from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
+from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+from cuda_matrix_inversion_tpu.ops.pallas_lu import inverse_lu
+a = make_spd_batch(1600, 128, np.random.default_rng(7)).astype(np.float32)
+fn = functools.partial(inverse_lu, steps=4)
+sec = max(chained_op_seconds(fn, a, iters=4, trials=3), 1e-9)
+inv = np.asarray(fn(a[:32]), np.float64)
+err = np.abs(a[:32].astype(np.float64) @ inv - np.eye(128)).sum(-1).max()
+print(json.dumps({"algorithm": "lu_pallas[steps=4]",
+                  "batch_ms": round(sec * 1e3, 3),
+                  "max_identity_err_inf": float(f"{err:.3e}")}))
+PYEOF
+    then
+        tail -1 results/kernel-ab-r3.jsonl
+    else
+        say "ab_lu_steps4 FAILED (see $STATE/ab_lu_steps4.log)"
+        echo '{"algorithm": "lu_pallas[steps=4]", "failed": true}' \
+            >> results/kernel-ab-r3.jsonl
+    fi
+    mark_done ab_lu_steps4
+    checkpoint
+fi
+
+# ---- 2d. Cholesky steps=4 experiment ------------------------------------
+if ! stage_done ab_cholesky_steps4; then
+    say "stage ab_cholesky_steps4"
+    if python - >> results/kernel-ab-r3.jsonl 2> "$STATE/ab_cholesky_steps4.log" <<'PYEOF'
+import functools, json
+import numpy as np
+from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
+from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+from cuda_matrix_inversion_tpu.ops.pallas_cholesky import inverse_cholesky
+a = make_spd_batch(1600, 128, np.random.default_rng(7)).astype(np.float32)
+fn = functools.partial(inverse_cholesky, steps=4)
+sec = max(chained_op_seconds(fn, a, iters=4, trials=3), 1e-9)
+inv = np.asarray(fn(a[:32]), np.float64)
+err = np.abs(a[:32].astype(np.float64) @ inv - np.eye(128)).sum(-1).max()
+print(json.dumps({"algorithm": "cholesky_pallas[steps=4]",
+                  "batch_ms": round(sec * 1e3, 3),
+                  "max_identity_err_inf": float(f"{err:.3e}")}))
+PYEOF
+    then
+        tail -1 results/kernel-ab-r3.jsonl
+    else
+        say "ab_cholesky_steps4 FAILED (see $STATE/ab_cholesky_steps4.log)"
+        echo '{"algorithm": "cholesky_pallas[steps=4]", "failed": true}' \
+            >> results/kernel-ab-r3.jsonl
+    fi
+    mark_done ab_cholesky_steps4
+    checkpoint
+fi
+
 # ---- 3. headline bench.py session --------------------------------------
 if ! stage_done bench_headline; then
     say "stage bench_headline"
