@@ -216,6 +216,10 @@ if ! stage_done plots; then
     say "stage plots"
     python -m cuda_matrix_inversion_tpu.analysis.plots \
         results/inverse-bench.txt --out-dir results/plots
+    python -m cuda_matrix_inversion_tpu.analysis.plots \
+        results/gauss-bench.txt --out-dir results/plots/gauss
+    python -m cuda_matrix_inversion_tpu.analysis.plots \
+        results/square-bench.txt --out-dir results/plots/square
     mark_done plots
 fi
 
