@@ -180,10 +180,10 @@ def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
                       + unused * ((k0 + pw) + rank - dest_ref[:, :]))
 
 
-def _blocked_lu_inverse_kernel(pw: int, steps: int, a_ref, out_ref,
-                               work_ref, pcT_ref, tri_ref, tinv_ref,
-                               tnat_ref, ldws_ref, udws_ref, pidx_ref,
-                               gidx_ref, used_ref):
+def _blocked_lu_inverse_kernel(pw: int, steps: int, factor_only: bool,
+                               a_ref, out_ref, work_ref, pcT_ref, tri_ref,
+                               tinv_ref, tnat_ref, ldws_ref, udws_ref,
+                               pidx_ref, gidx_ref, used_ref):
     """getrf + getri fused: factor A in VMEM with the permutation kept as
     an index vector, then A⁻¹ = U⁻¹·(L⁻¹P).  The panel scratch is the
     TRANSPOSED (BM, pw, N) swap-free layout of
@@ -263,6 +263,13 @@ def _blocked_lu_inverse_kernel(pw: int, steps: int, a_ref, out_ref,
                 l21 = work_ref[b, k1:n, k0:k1]  # (n-k1, pw)
                 work_ref[b, k1:n, :] = work_ref[b, k1:n, :] - _mm(l21, u12)
 
+    if factor_only:
+        # phase-split benchmarking mode (VERDICT r2 #9): stop after getrf
+        # so factor vs substitution cost can be measured on chip.  The
+        # output is the compact LU (NOT the inverse).
+        out_ref[:, :, :] = work_ref[:, :, :]
+        return
+
     # ---- Phase 2: Y = L⁻¹ P by block forward substitution (Y in out) ----
     # Seed out with the one-hot P built from the global index vector;
     # panel p reads its P rows from out just before overwriting them.
@@ -311,9 +318,11 @@ def _panel_width(n: int) -> int | None:
 _VMEM_MAX_N = 256
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "steps"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "steps",
+                                             "_factor_only"))
 def inverse_lu(a: jnp.ndarray, block: int | None = None,
-               interpret: bool | None = None, steps: int = 2) -> jnp.ndarray:
+               interpret: bool | None = None, steps: int = 2,
+               _factor_only: bool = False) -> jnp.ndarray:
     """Batched general-matrix LU inversion with partial pivoting, one launch.
 
     Drop-in for the reference's fastest path ``inverse_lu_cuda_batched_gpu``
@@ -369,7 +378,8 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
         raise ValueError(f"steps={steps} must be a power of two dividing "
                          f"the panel width {pw}")
     out = pl.pallas_call(
-        functools.partial(_blocked_lu_inverse_kernel, pw, steps),
+        functools.partial(_blocked_lu_inverse_kernel, pw, steps,
+                          _factor_only),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -395,6 +405,9 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
     # LAPACK's residual on ill-conditioned inputs; X ← X + X(I − AX)
     # brings it back for +2 matmuls per matrix.  Doing it in-kernel
     # raised scoped-VMEM pressure past the 16 MB limit at BM=32.
+    if _factor_only:
+        # phase-split mode: compact LU out, no substitutions, no polish
+        return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
     x = out[:orig, :n_orig, :n_orig]
     a_o = a[:orig, :n_orig, :n_orig]
     eye = jnp.eye(n_orig, dtype=jnp.float32)

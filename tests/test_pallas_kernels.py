@@ -299,6 +299,19 @@ def test_pallas_lu_panel_steps_variants(steps):
     assert _identity_err_inf(a, var) < 1e-4
 
 
+def test_pallas_lu_factor_only_mode():
+    # phase-split benchmarking hatch: getrf only, shape-preserving,
+    # finite on a nonsingular batch (contents = compact LU, not A^-1)
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    a = _general_batch(3, 32)
+    lu = np.asarray(pallas_lu.inverse_lu(a, _factor_only=True))
+    assert lu.shape == a.shape
+    assert np.isfinite(lu).all()
+    # and it is NOT accidentally the inverse path
+    assert _identity_err_inf(a, lu) > 1e-2
+
+
 def test_pallas_lu_spd_fixture_gate(rng):
     from cuda_matrix_inversion_tpu.ops import pallas_lu
 

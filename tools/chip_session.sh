@@ -140,6 +140,33 @@ PYEOF
     checkpoint
 fi
 
+# ---- 2c2. LU phase split: factor-only vs full (VERDICT r2 #9 fallback
+# evidence: where does the remaining LU-vs-GJ gap live?) ------------------
+if ! stage_done ab_lu_factoronly; then
+    say "stage ab_lu_factoronly"
+    if python - >> results/kernel-ab-r3.jsonl 2> "$STATE/ab_lu_factoronly.log" <<'PYEOF'
+import functools, json
+import numpy as np
+from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
+from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
+from cuda_matrix_inversion_tpu.ops.pallas_lu import inverse_lu
+a = make_spd_batch(1600, 128, np.random.default_rng(7)).astype(np.float32)
+fn = functools.partial(inverse_lu, _factor_only=True)
+sec = max(chained_op_seconds(fn, a, iters=4, trials=3), 1e-9)
+print(json.dumps({"algorithm": "lu_pallas[factor_only]",
+                  "batch_ms": round(sec * 1e3, 3)}))
+PYEOF
+    then
+        tail -1 results/kernel-ab-r3.jsonl
+    else
+        say "ab_lu_factoronly FAILED (see $STATE/ab_lu_factoronly.log)"
+        echo '{"algorithm": "lu_pallas[factor_only]", "failed": true}' \
+            >> results/kernel-ab-r3.jsonl
+    fi
+    mark_done ab_lu_factoronly
+    checkpoint
+fi
+
 # ---- 2d. Cholesky steps=4 experiment ------------------------------------
 if ! stage_done ab_cholesky_steps4; then
     say "stage ab_cholesky_steps4"
