@@ -48,6 +48,11 @@ from cuda_matrix_inversion_tpu.ops.host_api import (
     inverse_batched,
     solve_batched,
 )
+from cuda_matrix_inversion_tpu.models.gp import (
+    gp_log_marginal_likelihood,
+    gp_mean_variance,
+    gp_mean_variance_multi,
+)
 from cuda_matrix_inversion_tpu.engine import GPEngine, InversionEngine
 
 __version__ = "0.1.0"
@@ -64,6 +69,9 @@ __all__ = [
     "list_inverse_algorithms",
     "inverse_batched",
     "solve_batched",
+    "gp_mean_variance",
+    "gp_mean_variance_multi",
+    "gp_log_marginal_likelihood",
     "InversionEngine",
     "GPEngine",
     "__version__",

@@ -100,6 +100,29 @@ def gp_mean_variance(a, b, c, d, e, method: str = "solve"):
     return mean, var
 
 
+@partial(jax.jit, static_argnames=("method",))
+def gp_mean_variance_multi(a, b, c, d, e, method: str = "solve"):
+    """Mean/variance at ``m`` test points per system, ONE factorization.
+
+    Beyond-parity capability: the reference pipelines take a single test
+    vector per system (``a`` — (batch, n, 1), ``gauss_bench.cu:127-265``);
+    serving usually wants a block of test points against the same
+    training kernel.  Shapes: a — (batch, n, m); b — (batch, n, n);
+    c, d — (batch, n, 1); e — (batch, m, 1) (prior variance per point).
+    Returns mean, var — each (batch, m, 1).
+
+    One Cholesky of K = B + diag c feeds an (n, m+1)-RHS solve; the
+    variance needs only the diagonal of AᵀK⁻¹A, computed as a masked
+    elementwise reduction — never the m×m cross-covariance.
+    """
+    rhs = jnp.concatenate([d, a], axis=-1)          # (batch, n, 1+m)
+    x = _kinv_apply(b, c, rhs, method)
+    at = jnp.swapaxes(a, -1, -2)                    # (batch, m, n)
+    mean = jnp.matmul(at, x[:, :, 0:1], precision=_PREC)   # (batch, m, 1)
+    quad = jnp.sum(a * x[:, :, 1:], axis=1)[:, :, None]    # diag(AᵀK⁻¹A)
+    return mean, e - quad
+
+
 @jax.jit
 def gp_log_marginal_likelihood(b, c, d):
     """Batched GP log marginal likelihood of the observations ``d`` under

@@ -175,3 +175,25 @@ def test_gp_log_marginal_likelihood_grad(rng):
     e0[0, 0, 0] = eps
     fd = (float(loss(jnp.asarray(c + e0))) - float(loss(jnp.asarray(c - e0)))) / (2 * eps)
     np.testing.assert_allclose(g[0, 0, 0], fd, rtol=2e-2, atol=2e-3)
+
+
+def test_gp_mean_variance_multi_points(rng):
+    # m test points against one training kernel == m single-point calls
+    batch, n, m = 4, 16, 5
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32) + 0.5
+    d = rng.standard_normal((batch, n, 1)).astype(np.float32)
+    a = rng.standard_normal((batch, n, m)).astype(np.float32)
+    e = rng.random((batch, m, 1), dtype=np.float32) + 1.0
+    mean, var = gp.gp_mean_variance_multi(*map(jnp.asarray, (a, b, c, d, e)))
+    assert mean.shape == (batch, m, 1) and var.shape == (batch, m, 1)
+    for j in range(m):
+        mj, vj = gp.gp_mean_variance(
+            jnp.asarray(a[:, :, j:j + 1]), jnp.asarray(b), jnp.asarray(c),
+            jnp.asarray(d), jnp.asarray(e[:, j:j + 1, :]))
+        np.testing.assert_allclose(np.asarray(mean)[:, j, 0],
+                                   np.asarray(mj)[:, 0, 0], rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(var)[:, j, 0],
+                                   np.asarray(vj)[:, 0, 0], rtol=1e-4,
+                                   atol=1e-5)
