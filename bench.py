@@ -135,14 +135,15 @@ def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
         if emitter.best is not None and (now - t0) > budget_s / 2:
             break  # good-enough stop: a gate-passing headline exists
         try:
+            from cuda_matrix_inversion_tpu.bench.reporting import (
+                identity_error_inf,
+            )
+
             fn = get_inverse_algorithm(name)
             # 1. accuracy gate first (one compile; skips timing on failure)
             inv = np.asarray(
-                jax.device_get(jax.jit(fn)(jax.device_put(a_host))),
-                dtype=np.float64)
-            resid = np.abs(a_host.astype(np.float64) @ inv
-                           - np.eye(a_host.shape[-1]))
-            if resid.sum(axis=-1).max() >= 1e-4:
+                jax.device_get(jax.jit(fn)(jax.device_put(a_host))))
+            if identity_error_inf(a_host, inv) >= 1e-4:
                 continue
             if time.monotonic() >= deadline:
                 break

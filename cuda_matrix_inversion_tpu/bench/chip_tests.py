@@ -42,9 +42,9 @@ def _make_cond(batch, n, kappa, rng):
 
 
 def _gate_err(a, inv):
-    prod = np.asarray(a, np.float64) @ np.asarray(inv, np.float64)
-    resid = np.abs(prod - np.eye(a.shape[-1]))
-    return float(resid.sum(axis=-1).max())
+    from cuda_matrix_inversion_tpu.bench.reporting import identity_error_inf
+
+    return identity_error_inf(a, inv)
 
 
 def _check(err, gate=GATE):

@@ -37,7 +37,8 @@ def _find_fixture_dirs(root: str, kind: str):
 
 
 def _remeasure_flagged(kind: str, csv_path: str, fixture_root: str,
-                       reps: int, method: str, k: float = 3.0) -> list:
+                       reps: int, method: str, k: float = 3.0,
+                       deadline: float | None = None) -> list:
     """Outlier discipline for the permanent CSVs (VERDICT r2 weak #4).
 
     Audit the written CSV with :func:`reporting.audit_outliers`, re-run
@@ -46,8 +47,13 @@ def _remeasure_flagged(kind: str, csv_path: str, fixture_root: str,
     Remaining flags (still >k× after the re-run) are written to a
     ``*-outliers.txt`` sidecar so no outlier ships unannotated.
     Returns the remaining flags.
+
+    ``deadline`` (time.time() value): stop STARTING re-measurements past
+    it — the audit must not blow a caller's chunk budget; un-re-measured
+    flags simply land in the sidecar (code-review r3).
     """
     import io
+    import time
 
     from cuda_matrix_inversion_tpu.bench.reporting import audit_outliers
 
@@ -56,6 +62,10 @@ def _remeasure_flagged(kind: str, csv_path: str, fixture_root: str,
         return []
     lines = open(csv_path).readlines()
     for f in flags:
+        if deadline is not None and time.time() > deadline:
+            print("sweep: audit budget exhausted — remaining flags go to "
+                  "the sidecar unre-measured", file=sys.stderr)
+            break
         d = _dir_for(fixture_root, kind, f["n"], f["num_matrices"])
         if d is None:
             continue
@@ -74,7 +84,11 @@ def _remeasure_flagged(kind: str, csv_path: str, fixture_root: str,
                     run_bench,
                 )
 
-                run_bench(d, reps, dup, csv=True, method=method, stream=buf)
+                # only refresh the CPU pipelines when the flagged row IS
+                # one — re-measuring one GPU row must not re-run the slow
+                # CPU oracle for rows the filter below discards anyway
+                run_bench(d, reps, dup, csv=True, method=method, stream=buf,
+                          skip_cpu=not f["name"].endswith("_cpu"))
         except Exception as e:  # keep the old row on any re-run failure
             print(f"sweep: re-measure of {f['name']} "
                   f"{f['num_matrices']}x{f['n']} failed: {e}", file=sys.stderr)
@@ -89,8 +103,12 @@ def _remeasure_flagged(kind: str, csv_path: str, fixture_root: str,
                 print(f"sweep: replaced outlier row {f['name']} "
                       f"{f['num_matrices']}x{f['n']}: {f['mean_ms']:.4g} -> "
                       f"{new_mean:.4g} ms", file=sys.stderr)
-    with open(csv_path, "w") as out:
+    # atomic replace: a hard kill mid-write must not truncate a table
+    # built over many resumed chunks (code-review r3)
+    tmp = csv_path + ".tmp"
+    with open(tmp, "w") as out:
         out.writelines(lines)
+    os.replace(tmp, csv_path)
     remaining = audit_outliers(csv_path, k=k)
     root, ext = os.path.splitext(csv_path)
     sidecar = f"{root}-outliers{ext or '.txt'}"
@@ -224,7 +242,9 @@ def main(argv=None) -> int:
     if args.out:
         if not args.no_audit:
             _remeasure_flagged(args.kind, args.out, args.fixture_root,
-                               args.reps, args.method)
+                               args.reps, args.method,
+                               deadline=(t0 + args.budget_s
+                                         if args.budget_s else None))
         # reference results/ convention: a separate *-errors.txt companion
         # holding one (runtime, error) row per benchmark
         # (/root/reference/results/inverse-bench-errors.txt — VERDICT r1

@@ -59,7 +59,11 @@ def make_square_batch(num: int, dim: int, rng: np.random.Generator,
     out = np.empty((num, dim, dim))
     got = 0
     while got < num:
-        cand = rng.standard_normal((num, dim, dim))
+        # draw only the deficit (padded ~30% for the rejection rate) —
+        # each candidate costs an SVD-based cond() on the host, so
+        # redrawing `num` per top-up round is pure waste (code-review r3)
+        draw = min(num, max(4, int(1.3 * (num - got)) + 1))
+        cand = rng.standard_normal((draw, dim, dim))
         ok = cand[np.linalg.cond(cand) <= cap]
         take = min(num - got, ok.shape[0])
         out[got:got + take] = ok[:take]

@@ -52,6 +52,23 @@ def _kinv_apply(b, c, rhs, method: str):
         )
 
         return jnp.matmul(inverse_newton_schulz(k), rhs, precision=_PREC)
+    if method == "pallas":
+        # the fused single-point kernel's method strings also work on the
+        # generic solve paths (code-review r3: gp_mean_variance_multi
+        # crashed on exactly the strings the flagship pipeline uses) —
+        # here they pick the corresponding Pallas inversion kernel
+        from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
+            inverse_cholesky,
+        )
+
+        return jnp.matmul(inverse_cholesky(k), rhs, precision=_PREC)
+    if method == "pallas_ns":
+        from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+            inverse_newton_schulz_pallas,
+        )
+
+        return jnp.matmul(inverse_newton_schulz_pallas(k, init="spd"), rhs,
+                          precision=_PREC)
     raise ValueError(f"unknown method {method!r}")
 
 

@@ -394,13 +394,16 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         # _VMEM_MAX_N ceiling enforced below).
         from cuda_matrix_inversion_tpu.ops.schur import spd_blocked_inverse
 
-        base = functools.partial(inverse_cholesky, interpret=interpret)
+        # forward steps too — dropping a schedule knob from a recursion
+        # base partial is exactly the r2 spd10 mu_min bug class
+        base = functools.partial(inverse_cholesky, interpret=interpret,
+                                 steps=steps)
         return spd_blocked_inverse(a, base, max_base_n=_SCHUR_MIN_N)
     if a.shape[-1] > _VMEM_MAX_N:
         from cuda_matrix_inversion_tpu.ops.schur import spd_blocked_inverse
 
         base = functools.partial(inverse_cholesky, block=block,
-                                 interpret=interpret)
+                                 interpret=interpret, steps=steps)
         return spd_blocked_inverse(a, base, max_base_n=_VMEM_MAX_N)
     batch = a.shape[0]
     orig_dtype = a.dtype

@@ -318,6 +318,15 @@ def _panel_width(n: int) -> int | None:
 _VMEM_MAX_N = 256
 
 
+def _no_factor_only(flag: bool, route: str) -> None:
+    """The phase-split hatch exists only in the blocked Pallas kernel;
+    silently returning the full inverse would make a 'factor-only'
+    measurement lie (code-review r3) — fail loudly instead."""
+    if flag:
+        raise ValueError(f"_factor_only is not supported on {route}; "
+                         "it measures the blocked Pallas kernel only")
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "steps",
                                              "_factor_only"))
 def inverse_lu(a: jnp.ndarray, block: int | None = None,
@@ -337,10 +346,12 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
         # keep f64 exact: XLA LU path instead of an fp32 VMEM round-trip
         from cuda_matrix_inversion_tpu.ops import xla as _xla
 
+        _no_factor_only(_factor_only, "the f64 XLA route")
         return _xla.inverse_lu(a)
     if a.shape[-1] > _VMEM_MAX_N:
         from cuda_matrix_inversion_tpu.ops import xla as _xla
 
+        _no_factor_only(_factor_only, f"n > {_VMEM_MAX_N} (XLA route)")
         return _xla.inverse_lu(a)
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
@@ -352,6 +363,7 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
         # kernel is the right shape
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan as _gj
 
+        _no_factor_only(_factor_only, "n <= 8 (Gauss-Jordan route)")
         return _gj.inverse_gauss_jordan(
             a[:, :n_orig, :n_orig], block=block,
             interpret=interpret).astype(orig_dtype)

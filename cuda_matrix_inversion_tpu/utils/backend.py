@@ -44,10 +44,13 @@ DEFAULT_TIMEOUT_S = 120.0
 def backend_argument(parser) -> None:
     """Add the standard ``--backend`` flag to an argparse parser."""
     parser.add_argument(
-        "--backend", default="auto", choices=["auto", "cpu", "tpu"],
-        help="auto = whatever JAX picks (the TPU on this machine); "
-             "cpu = hard-pin the CPU backend via the config API "
-             "(the env-var pin does not stop the TPU plugin here)")
+        "--backend", default="auto", choices=["auto", "cpu"],
+        help="auto = whatever JAX picks (the TPU on this machine — its "
+             "platform is named 'axon', so there is deliberately no "
+             "'tpu' choice: pinning jax_platforms='tpu' would fail "
+             "backend init here); cpu = hard-pin the CPU backend via "
+             "the config API (the env-var pin does not stop the TPU "
+             "plugin here)")
 
 
 def pin_backend(backend: str) -> None:

@@ -52,6 +52,22 @@ def test_pallas_cholesky_steps_variants(steps, n, rng):
     assert _identity_err_inf(a, var) < 1e-4
 
 
+def test_pallas_cholesky_steps_through_schur_route(rng):
+    # n > 128 routes through the Schur recursion; the base partial must
+    # inherit steps (the r2 spd10 mu_min bug class — a dropped schedule
+    # knob on the recursion base runs the wrong configuration silently).
+    # steps is fusion-only (results agree for any value), so the canary
+    # for inheritance is an INVALID steps: the validation lives past the
+    # Schur routing, so only a forwarded steps can raise from the base.
+    a = make_spd_batch(2, 160, rng).astype(np.float32)
+    with pytest.raises(ValueError, match="steps=3"):
+        pc.inverse_cholesky(a, steps=3)
+    var = np.asarray(pc.inverse_cholesky(a, steps=4))
+    base = np.asarray(pc.inverse_cholesky(a))
+    np.testing.assert_allclose(var, base, rtol=1e-4, atol=5e-5)
+    assert _identity_err_inf(a, var) < 1e-4
+
+
 def test_pallas_cholesky_block_escape_hatch(rng):
     # n > 128 routes through the Schur recursion by default (the direct
     # kernel is scoped-VMEM-marginal there); an explicit block= keeps the
@@ -310,6 +326,14 @@ def test_pallas_lu_factor_only_mode():
     assert np.isfinite(lu).all()
     # and it is NOT accidentally the inverse path
     assert _identity_err_inf(a, lu) > 1e-2
+    # the hatch must fail LOUDLY on routes that bypass the blocked kernel
+    # — silently timing the full inverse as "factor-only" would lie
+    with pytest.raises(ValueError, match="factor_only"):
+        pallas_lu.inverse_lu(np.eye(512, dtype=np.float32)[None],
+                             _factor_only=True)
+    with pytest.raises(ValueError, match="factor_only"):
+        pallas_lu.inverse_lu(_general_batch(2, 8, zero_diag=False),
+                             _factor_only=True)
 
 
 def test_pallas_lu_spd_fixture_gate(rng):

@@ -7,7 +7,8 @@
 #     timeout 590 bash tools/chip_session.sh      # repeat until rc != 3
 #
 # rc 3  = work remains (rerun to resume)
-# rc 0  = every stage complete
+# rc 0  = every stage complete, ledger all-PASS
+# rc 4  = every stage complete but the claim ledger recorded FAILs
 # rc 17 = tunnel wedged at first device contact (utils/backend watchdog)
 # other = a stage genuinely failed; see the stage log under $STATE
 #
@@ -53,6 +54,9 @@ if ! stage_done chip_tests; then
     rc=${PIPESTATUS[0]}
     case $rc in
         3) exit 3 ;;              # budget hit; rerun resumes
+        # rc 1 = claims FAILED: the queue keeps moving (later stages are
+        # independent measurements) but the session must NOT end 0 —
+        # SESSION-COMPLETE checks this marker and exits 4.
         0|1) echo "rc=$rc" > "$STATE/chip_tests.done" ;;
         *) say "chip_tests rc=$rc"; exit $rc ;;
     esac
@@ -80,121 +84,56 @@ for alg in gauss_pallas lu_pallas cholesky_pallas; do
     fi
 done
 
-# ---- 2b. GJ steps=4 experiment (same fused body, 1.5 VMEM passes/col
-# predicted vs 2.0 at steps=2) --------------------------------------------
-if ! stage_done ab_gauss_steps4; then
-    say "stage ab_gauss_steps4"
-    if python - >> results/kernel-ab-r3.jsonl 2> "$STATE/ab_gauss_steps4.log" <<'PYEOF'
-import functools, json
+# ---- 2b. kernel experiments at the same shape: steps=4 bodies (GJ
+# predicted 1.5 VMEM passes/col vs 2.0; LU/Cholesky quarter the fused
+# stores on the latency-bound chains) and the LU factor-only phase split
+# (VERDICT r2 #9 evidence: where does the remaining LU-vs-GJ gap live?).
+# One shared measurement body, parameterized per experiment.
+ab_experiment() { # stage_name label import_path fn kwargs gate(1/0)
+    local stage=$1 label=$2 imp=$3 fn=$4 kwargs=$5 gate=$6
+    if ! stage_done "$stage"; then
+        say "stage $stage"
+        if AB_LABEL="$label" AB_IMPORT="$imp" AB_FN="$fn" \
+           AB_KWARGS="$kwargs" AB_GATE="$gate" \
+           python - >> results/kernel-ab-r3.jsonl 2> "$STATE/$stage.log" <<'PYEOF'
+import functools, json, os
 import numpy as np
+mod = __import__(os.environ["AB_IMPORT"], fromlist=["_"])
+fn = functools.partial(getattr(mod, os.environ["AB_FN"]),
+                       **json.loads(os.environ["AB_KWARGS"]))
 from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
 from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
-from cuda_matrix_inversion_tpu.ops.pallas_gauss_jordan import inverse_gauss_jordan
 a = make_spd_batch(1600, 128, np.random.default_rng(7)).astype(np.float32)
-fn = functools.partial(inverse_gauss_jordan, steps=4)
 sec = max(chained_op_seconds(fn, a, iters=4, trials=3), 1e-9)
-inv = np.asarray(fn(a[:32]), np.float64)
-err = np.abs(a[:32].astype(np.float64) @ inv - np.eye(128)).sum(-1).max()
-print(json.dumps({"algorithm": "gauss_pallas[steps=4]",
-                  "batch_ms": round(sec * 1e3, 3),
-                  "max_identity_err_inf": float(f"{err:.3e}")}))
+row = {"algorithm": os.environ["AB_LABEL"], "batch_ms": round(sec * 1e3, 3)}
+if os.environ["AB_GATE"] == "1":
+    from cuda_matrix_inversion_tpu.bench.reporting import identity_error_inf
+    row["max_identity_err_inf"] = float(
+        f"{identity_error_inf(a[:32], np.asarray(fn(a[:32]))):.3e}")
+print(json.dumps(row))
 PYEOF
-    then
-        tail -1 results/kernel-ab-r3.jsonl
-    else
-        say "ab_gauss_steps4 FAILED (see $STATE/ab_gauss_steps4.log)"
-        echo '{"algorithm": "gauss_pallas[steps=4]", "failed": true}' \
-            >> results/kernel-ab-r3.jsonl
+        then
+            tail -1 results/kernel-ab-r3.jsonl
+        else
+            say "$stage FAILED (see $STATE/$stage.log)"
+            echo "{\"algorithm\": \"$label\", \"failed\": true}" \
+                >> results/kernel-ab-r3.jsonl
+        fi
+        mark_done "$stage"
+        checkpoint
     fi
-    mark_done ab_gauss_steps4
-    checkpoint
-fi
-
-# ---- 2c. LU panel steps=4 experiment (latency-bound chain: quarter the
-# fused stores/loop iterations per column) --------------------------------
-if ! stage_done ab_lu_steps4; then
-    say "stage ab_lu_steps4"
-    if python - >> results/kernel-ab-r3.jsonl 2> "$STATE/ab_lu_steps4.log" <<'PYEOF'
-import functools, json
-import numpy as np
-from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
-from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
-from cuda_matrix_inversion_tpu.ops.pallas_lu import inverse_lu
-a = make_spd_batch(1600, 128, np.random.default_rng(7)).astype(np.float32)
-fn = functools.partial(inverse_lu, steps=4)
-sec = max(chained_op_seconds(fn, a, iters=4, trials=3), 1e-9)
-inv = np.asarray(fn(a[:32]), np.float64)
-err = np.abs(a[:32].astype(np.float64) @ inv - np.eye(128)).sum(-1).max()
-print(json.dumps({"algorithm": "lu_pallas[steps=4]",
-                  "batch_ms": round(sec * 1e3, 3),
-                  "max_identity_err_inf": float(f"{err:.3e}")}))
-PYEOF
-    then
-        tail -1 results/kernel-ab-r3.jsonl
-    else
-        say "ab_lu_steps4 FAILED (see $STATE/ab_lu_steps4.log)"
-        echo '{"algorithm": "lu_pallas[steps=4]", "failed": true}' \
-            >> results/kernel-ab-r3.jsonl
-    fi
-    mark_done ab_lu_steps4
-    checkpoint
-fi
-
-# ---- 2c2. LU phase split: factor-only vs full (VERDICT r2 #9 fallback
-# evidence: where does the remaining LU-vs-GJ gap live?) ------------------
-if ! stage_done ab_lu_factoronly; then
-    say "stage ab_lu_factoronly"
-    if python - >> results/kernel-ab-r3.jsonl 2> "$STATE/ab_lu_factoronly.log" <<'PYEOF'
-import functools, json
-import numpy as np
-from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
-from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
-from cuda_matrix_inversion_tpu.ops.pallas_lu import inverse_lu
-a = make_spd_batch(1600, 128, np.random.default_rng(7)).astype(np.float32)
-fn = functools.partial(inverse_lu, _factor_only=True)
-sec = max(chained_op_seconds(fn, a, iters=4, trials=3), 1e-9)
-print(json.dumps({"algorithm": "lu_pallas[factor_only]",
-                  "batch_ms": round(sec * 1e3, 3)}))
-PYEOF
-    then
-        tail -1 results/kernel-ab-r3.jsonl
-    else
-        say "ab_lu_factoronly FAILED (see $STATE/ab_lu_factoronly.log)"
-        echo '{"algorithm": "lu_pallas[factor_only]", "failed": true}' \
-            >> results/kernel-ab-r3.jsonl
-    fi
-    mark_done ab_lu_factoronly
-    checkpoint
-fi
-
-# ---- 2d. Cholesky steps=4 experiment ------------------------------------
-if ! stage_done ab_cholesky_steps4; then
-    say "stage ab_cholesky_steps4"
-    if python - >> results/kernel-ab-r3.jsonl 2> "$STATE/ab_cholesky_steps4.log" <<'PYEOF'
-import functools, json
-import numpy as np
-from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
-from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
-from cuda_matrix_inversion_tpu.ops.pallas_cholesky import inverse_cholesky
-a = make_spd_batch(1600, 128, np.random.default_rng(7)).astype(np.float32)
-fn = functools.partial(inverse_cholesky, steps=4)
-sec = max(chained_op_seconds(fn, a, iters=4, trials=3), 1e-9)
-inv = np.asarray(fn(a[:32]), np.float64)
-err = np.abs(a[:32].astype(np.float64) @ inv - np.eye(128)).sum(-1).max()
-print(json.dumps({"algorithm": "cholesky_pallas[steps=4]",
-                  "batch_ms": round(sec * 1e3, 3),
-                  "max_identity_err_inf": float(f"{err:.3e}")}))
-PYEOF
-    then
-        tail -1 results/kernel-ab-r3.jsonl
-    else
-        say "ab_cholesky_steps4 FAILED (see $STATE/ab_cholesky_steps4.log)"
-        echo '{"algorithm": "cholesky_pallas[steps=4]", "failed": true}' \
-            >> results/kernel-ab-r3.jsonl
-    fi
-    mark_done ab_cholesky_steps4
-    checkpoint
-fi
+}
+ab_experiment ab_gauss_steps4 "gauss_pallas[steps=4]" \
+    cuda_matrix_inversion_tpu.ops.pallas_gauss_jordan inverse_gauss_jordan \
+    '{"steps": 4}' 1
+ab_experiment ab_lu_steps4 "lu_pallas[steps=4]" \
+    cuda_matrix_inversion_tpu.ops.pallas_lu inverse_lu '{"steps": 4}' 1
+ab_experiment ab_lu_factoronly "lu_pallas[factor_only]" \
+    cuda_matrix_inversion_tpu.ops.pallas_lu inverse_lu \
+    '{"_factor_only": true}' 0
+ab_experiment ab_cholesky_steps4 "cholesky_pallas[steps=4]" \
+    cuda_matrix_inversion_tpu.ops.pallas_cholesky inverse_cholesky \
+    '{"steps": 4}' 1
 
 # ---- 3. headline bench.py session --------------------------------------
 if ! stage_done bench_headline; then
@@ -250,5 +189,9 @@ if ! stage_done plots; then
     mark_done plots
 fi
 
+if grep -q "rc=1" "$STATE/chip_tests.done" 2>/dev/null; then
+    say "SESSION-COMPLETE (with claim-ledger FAILs — see results/chip-tests.txt)"
+    exit 4
+fi
 say "SESSION-COMPLETE"
 exit 0
