@@ -197,3 +197,24 @@ def test_gp_mean_variance_multi_points(rng):
         np.testing.assert_allclose(np.asarray(var)[:, j, 0],
                                    np.asarray(vj)[:, 0, 0], rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_gp_multi_accepts_flagship_method_strings(rng):
+    # the method strings the fused single-point pipeline uses must not
+    # crash the generic paths (code-review r3) — they pick the matching
+    # Pallas inversion kernel
+    batch, n, m = 2, 16, 3
+    b = make_spd_batch(batch, n, rng).astype(np.float32)
+    c = rng.random((batch, n, 1), dtype=np.float32) + 0.5
+    d = rng.standard_normal((batch, n, 1)).astype(np.float32)
+    a = rng.standard_normal((batch, n, m)).astype(np.float32)
+    e = rng.random((batch, m, 1), dtype=np.float32) + 1.0
+    ref_mean, ref_var = gp.gp_mean_variance_multi(
+        *map(jnp.asarray, (a, b, c, d, e)))
+    for method in ("pallas", "pallas_ns"):
+        mean, var = gp.gp_mean_variance_multi(
+            *map(jnp.asarray, (a, b, c, d, e)), method=method)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(ref_var),
+                                   rtol=1e-3, atol=1e-4)
