@@ -49,6 +49,11 @@ chip-test:
 	$(PY) -m cuda_matrix_inversion_tpu.bench.chip_tests \
 	  --progress /tmp/cmi_chip_tests.progress --budget-s 380
 
+# the whole pending-chip-work queue (ledger, kernel A/Bs, bench.py,
+# sweeps, plots) as one resumable chunk; rerun until exit code != 3
+chip-session:
+	timeout 590 bash tools/chip_session.sh
+
 # ref: make cholesky_cpu pipes a known SPD 4x4 (Makefile:229-235)
 cholesky-demo:
 	printf '4\n18 22 54 42\n22 70 86 62\n54 86 174 134\n42 62 134 106\n' | \
