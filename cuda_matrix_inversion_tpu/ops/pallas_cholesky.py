@@ -147,7 +147,8 @@ def _triangular_inverse_body(n: int, lt_ref, w_ref, nat_ref=None):
 
 
 def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref,
-                                  steps: int = 2):
+                                  steps: int = 2,
+                                  chunk: int | None = None):
     """Fused factorization + triangular inverse: ONE sequential loop
     computes column k of L and immediately applies the forward-substitution
     downdate to W, reusing the sublane column copy the rank-1 trailing
@@ -163,20 +164,35 @@ def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref,
     kernels): later columns' values after the earlier rank-1 downdates
     are register math — one scalar L[k+t, k+i] correction per earlier
     step — so the latency-bound chain pays 1/steps of the big-buffer
-    stores.  n is tile-padded, so any power-of-two ``steps`` divides it.
+    stores.  The buffer sweep CAN run CHUNKED over sublane blocks of
+    ``chunk`` rows: the column copy (masked lane reduction) and both
+    rank-1 downdates are row-local, so each block applies the steps
+    sequentially in a (BM, chunk, N) stack temp, and reductions see the
+    already-updated block, making the cross-step column corrections
+    implicit.  The r2 list-of-full-buffer-temps formulation blew the
+    16 MB scoped-VMEM limit on a real v5e (16.52 MB at 1600×128, r3
+    chip A/B); THIS restructured sweep fits at full width (5.22 ms,
+    matching r2), while actually sub-chunking the pw=32 panels costs
+    ~1 ms (chunk=8: 6.20 ms) — so the default is one full-width block
+    and ``chunk`` stays as the bounded-stack escape hatch (steps=4 at
+    full width is 392 KB over the limit — keep steps=2 unless chunking).
+    n is tile-padded, so any power-of-two ``steps`` divides it.
     """
     bm = work_ref.shape[0]
+    if chunk is None:
+        chunk = n
     lanes = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
-    sub3 = jax.lax.broadcasted_iota(jnp.int32, (bm, n, 1), 1)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.float32)
     w_ref[:, :, :] = jnp.broadcast_to(eye, (bm, n, n))
+    sub_c = jax.lax.broadcasted_iota(jnp.int32, (bm, chunk, 1), 1)
 
     def body(kk, _):
         k = steps * kk
-        cols, invs, lcols, lcol_ss, lcol_sds, wrows = [], [], [], [], [], []
+        cols, invs, akks, lcols, lmasks, wrows = [], [], [], [], [], []
+        # ---- phase A: columns/scales/W rows, (BM, N) register math ----
         for t in range(steps):  # unrolled at trace time
-            # ---- column k+t, earlier downdates applied in registers ----
+            # column k+t, earlier downdates applied in registers
             c = work_ref[:, pl.ds(k + t, 1), :][:, 0, :]  # row k+t = col k+t
             lts = []  # L[k+t, k+i] for i < t
             for i in range(t):
@@ -188,17 +204,6 @@ def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref,
             lcol = jnp.where(lanes > k + t, c * inv, 0.0)
             lcol = jnp.where(lanes == k + t, akk * inv, lcol)
             lt_ref[:, pl.ds(k + t, 1), :] = lcol[:, None, :]
-            lmask = (lanes == (k + t)).astype(jnp.float32)
-            # sublane copy of the column, earlier downdates applied:
-            # work column k+t after step i loses lcol_s_i_d · L[k+t, k+i]
-            col_s = jnp.sum(work_ref[:, :, :] * lmask[:, None, :], axis=2,
-                            keepdims=True)                 # (BM, N, 1)
-            for i in range(t):
-                col_s = col_s - lcol_sds[i] * lts[i][:, :, None]
-            iv3 = inv[:, :, None]
-            lcol_s = jnp.where(sub3 > k + t, col_s * iv3, 0.0)
-            lcol_sd = lcol_s + jnp.where(sub3 == k + t,
-                                         akk[:, :, None] * iv3, 0.0)
             # W row k+t with earlier forward-substitution steps applied
             wrow = w_ref[:, pl.ds(k + t, 1), :][:, 0, :]
             for i in range(t):
@@ -206,22 +211,29 @@ def _cholesky_factor_inverse_body(n: int, work_ref, lt_ref, w_ref,
             wrow = wrow * inv
             cols.append(c)
             invs.append(inv)
+            akks.append(akk)
             lcols.append(lcol)
-            lcol_ss.append(lcol_s)
-            lcol_sds.append(lcol_sd)
+            lmasks.append((lanes == (k + t)).astype(jnp.float32))
             wrows.append(wrow)
 
-        # ---- fused trailing downdate: all rank-1 terms, one store ----
-        wv = work_ref[:, :, :]
-        for lcol_sd, lcol in zip(lcol_sds, lcols):
-            wv = wv - lcol_sd * lcol[:, None, :]
-        work_ref[:, :, :] = wv
-
-        # ---- fused forward-substitution downdate of W ----
-        w = w_ref[:, :, :]
-        for lcol_s, wrow in zip(lcol_ss, wrows):
-            w = w - lcol_s * wrow[:, None, :]
-        w_ref[:, :, :] = w
+        # ---- phase B: chunked sweep, all steps per block in one temp ----
+        for j in range(0, n, chunk):
+            wv = work_ref[:, pl.ds(j, chunk), :]
+            wb = w_ref[:, pl.ds(j, chunk), :]
+            sub = sub_c + j
+            for t in range(steps):
+                iv3 = invs[t][:, :, None]
+                # sublane copy of column k+t for THESE rows (row-local
+                # masked lane reduction of the already-updated block)
+                col_s = jnp.sum(wv * lmasks[t][:, None, :], axis=2,
+                                keepdims=True)             # (BM, C, 1)
+                lcol_s = jnp.where(sub > k + t, col_s * iv3, 0.0)
+                lcol_sd = lcol_s + jnp.where(sub == k + t,
+                                             akks[t][:, :, None] * iv3, 0.0)
+                wv = wv - lcol_sd * lcols[t][:, None, :]   # trailing downdate
+                wb = wb - lcol_s * wrows[t][:, None, :]    # forward subst
+            work_ref[:, pl.ds(j, chunk), :] = wv
+            w_ref[:, pl.ds(j, chunk), :] = wb
         for t, wrow in enumerate(wrows):
             w_ref[:, pl.ds(k + t, 1), :] = wrow[:, None, :]
         return 0
@@ -242,11 +254,12 @@ def _mm(lhs, rhs, contract=((1,), (0,))):
 
 
 def _chol_inverse_kernel(a_ref, out_ref, work_ref, l_ref, w_ref,
-                         steps: int = 2):
+                         steps: int = 2, chunk: int | None = None):
     """Naive (rank-1) path — used for small N where blocking can't help."""
     n = a_ref.shape[-1]
     work_ref[:, :, :] = a_ref[:, :, :]
-    _cholesky_factor_inverse_body(n, work_ref, l_ref, w_ref, steps=steps)
+    _cholesky_factor_inverse_body(n, work_ref, l_ref, w_ref, steps=steps,
+                                  chunk=chunk)
     # A⁻¹ = Wᵀ W — per-matrix 2D MXU matmuls (Mosaic's dot wants rank 2)
     bm = a_ref.shape[0]
     for b in range(bm):
@@ -255,7 +268,7 @@ def _chol_inverse_kernel(a_ref, out_ref, work_ref, l_ref, w_ref,
 
 
 def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
-                  dws_ref, steps: int = 2):
+                  dws_ref, steps: int = 2, chunk: int | None = None):
     """Blocked factor + triangular inverse: fills ``lt_ref`` (rows of Lᵀ)
     and ``w_ref`` (W = L⁻¹) from the symmetric matrix in ``work_ref``
     (destroyed).  Shared by the inverse kernel and the fused GP kernel."""
@@ -271,7 +284,7 @@ def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
         dblk_ref[:, :, :] = work_ref[:, k0:k0 + pw, k0:k0 + pw]
         # fused: one sequential loop yields both Ld (dlt) and Ld⁻¹ (dw)
         _cholesky_factor_inverse_body(pw, dblk_ref, dlt_ref, dw_ref,
-                                      steps=steps)
+                                      steps=steps, chunk=chunk)
         dws_ref[:, k0:k0 + pw, :] = dw_ref[:, :, :]
         tri_mask = lane_n >= (sub_pw + k0)  # lower-tri in Lᵀ row space
         for b in range(bm):
@@ -298,9 +311,9 @@ def _blocked_lt_w(pw, work_ref, lt_ref, w_ref, dblk_ref, dlt_ref, dw_ref,
             w_ref[b, k0:k0 + pw, :] = _mm(dws_ref[b, k0:k0 + pw, :], rhs)
 
 
-def _blocked_chol_inverse_kernel(pw: int, steps: int, a_ref, out_ref,
-                                 work_ref, lt_ref, dblk_ref, dlt_ref,
-                                 dw_ref, dws_ref):
+def _blocked_chol_inverse_kernel(pw: int, steps: int, chunk: int | None,
+                                 a_ref, out_ref, work_ref, lt_ref,
+                                 dblk_ref, dlt_ref, dw_ref, dws_ref):
     """Blocked SPD inverse: two-level blocking so the O(n³) work rides the
     MXU instead of per-column VPU passes.
 
@@ -327,7 +340,7 @@ def _blocked_chol_inverse_kernel(pw: int, steps: int, a_ref, out_ref,
     # letting the batch block grow); phase 3 reads W[b] as a value before
     # overwriting that slot.
     _blocked_lt_w(pw, work_ref, lt_ref, out_ref, dblk_ref, dlt_ref, dw_ref,
-                  dws_ref, steps=steps)
+                  dws_ref, steps=steps, chunk=chunk)
     # ---- Phase 3: A⁻¹ = Wᵀ W ----
     for b in range(bm):
         w_b = out_ref[b, :, :]
@@ -361,10 +374,12 @@ def _panel_width(n: int) -> int | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "steps"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "interpret", "steps", "chunk"))
 def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
                      interpret: bool | None = None,
-                     steps: int = 2) -> jnp.ndarray:
+                     steps: int = 2,
+                     chunk: int | None = None) -> jnp.ndarray:
     """Batched SPD inversion, one fused Pallas launch.
 
     Drop-in for :func:`cuda_matrix_inversion_tpu.ops.xla.inverse_cholesky`
@@ -397,13 +412,14 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
         # forward steps too — dropping a schedule knob from a recursion
         # base partial is exactly the r2 spd10 mu_min bug class
         base = functools.partial(inverse_cholesky, interpret=interpret,
-                                 steps=steps)
+                                 steps=steps, chunk=chunk)
         return spd_blocked_inverse(a, base, max_base_n=_SCHUR_MIN_N)
     if a.shape[-1] > _VMEM_MAX_N:
         from cuda_matrix_inversion_tpu.ops.schur import spd_blocked_inverse
 
         base = functools.partial(inverse_cholesky, block=block,
-                                 interpret=interpret, steps=steps)
+                                 interpret=interpret, steps=steps,
+                                 chunk=chunk)
         return spd_blocked_inverse(a, base, max_base_n=_VMEM_MAX_N)
     batch = a.shape[0]
     orig_dtype = a.dtype
@@ -437,11 +453,16 @@ def inverse_cholesky(a: jnp.ndarray, block: int | None = None,
     if steps not in (1, 2, 4, 8) or (pw or n) % steps:
         raise ValueError(f"steps={steps} must be a power of two dividing "
                          f"the column-loop width {pw or n}")
+    if chunk is not None and (pw or n) % chunk:
+        raise ValueError(f"chunk={chunk} must divide the column-loop "
+                         f"width {pw or n}")
     if pw is None:
-        kernel = functools.partial(_chol_inverse_kernel, steps=steps)
+        kernel = functools.partial(_chol_inverse_kernel, steps=steps,
+                                   chunk=chunk)
         scratch = [pltpu.VMEM((bm, n, n), jnp.float32)] * 3
     else:
-        kernel = functools.partial(_blocked_chol_inverse_kernel, pw, steps)
+        kernel = functools.partial(_blocked_chol_inverse_kernel, pw, steps,
+                                   chunk)
         scratch = [
             pltpu.VMEM((bm, n, n), jnp.float32),   # work
             pltpu.VMEM((bm, n, n), jnp.float32),   # lt  (W aliases out_ref)

@@ -44,7 +44,7 @@ from cuda_matrix_inversion_tpu.ops.pallas_common import (
 
 
 def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref,
-                         *, steps: int = 2):
+                         *, steps: int = 4, chunk: int | None = None):
     """Swap-free transposed Gauss-Jordan (round-2 rewrite, 43.9 → 14.1 ms
     at 1600×128).
 
@@ -70,15 +70,27 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref,
     read-modify-write of the big augmented buffer (r3): at 1600×128 /
     BM=32 this kernel is VMEM-bandwidth-bound — work is (BM, 2N, N) ≈
     4 MB and the single-column body made 3 full passes per column
-    (pivot-row reduction, update read, update write).  Later columns'
-    pivot columns and pivot rows are DERIVED from the earlier steps'
-    rank-1 updates in (BM, N)/(BM, 2N, 1)-sized register math — the
-    per-column arithmetic is unchanged, only big-buffer traffic drops:
-    (steps + 2) / steps passes per column (1: 3.0, 2: 2.0, 4: 1.5).
+    (pivot-row reduction, update read, update write).  The pivot
+    COLUMNS, masks, and pivots for all ``steps`` columns come first from
+    (BM, N)-sized register math (phase A); the buffer sweep (phase B)
+    then runs CHUNKED over sublane blocks of ``chunk`` rows — the pivot
+    -row reduction and the rank-1 update are both row-local, so each
+    block applies the steps sequentially in a small stack temp (which
+    also makes the cross-step pivot-row corrections implicit: each
+    reduction sees the already-updated block).  Big-buffer traffic is
+    ~2/steps passes per column; the chunking exists because the UNCHUNKED
+    steps=2 body's full-buffer stack temporaries blew the 16 MB scoped
+    -VMEM limit on a real v5e (20.84 MB at 1600×128/BM=32, r3 chip A/B)
+    — (BM, chunk, N) temps keep the stack bounded regardless of steps.
+    Chip A/B at 1600×128 (r3, chunked body): steps=4 13.67 ms,
+    steps=2 14.09, steps=8 14.54; chunk 32 and 64 tie, 16 costs 0.6 ms
+    — hence the steps=4 / chunk=min(2n, 32) defaults.
     n is tile-padded, so any power-of-two ``steps`` divides it.
     """
     bm, n, _ = at_ref.shape
     w2 = 2 * n
+    if chunk is None:
+        chunk = min(w2, 32)
 
     lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
     lanes_f = lanes_n.astype(jnp.float32)
@@ -94,7 +106,8 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref,
 
     def body(kk, _):
         k = steps * kk
-        pms, rns, fs, pivs = [], [], [], []
+        pms, fs, pivs = [], [], []
+        # ---- phase A: pivot columns/masks/pivots, (BM, N) math only ----
         for t in range(steps):  # unrolled at trace time
             # column k+t, with steps < t applied in register math
             c = work_ref[:, pl.ds(k + t, 1), :][:, 0, :]     # (BM, N)
@@ -111,27 +124,22 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref,
             pf = jnp.sum(lanes_f * pm, axis=1, keepdims=True)  # (BM, 1)
             pidx_ref[:, :] = pidx_ref[:, :] + km * (pf - pidx_ref[:, :])
             piv = jnp.sum(c * pm, axis=1, keepdims=True)       # (BM, 1)
-            # pivot row: one full-buffer masked reduction, then the
-            # earlier steps' rank-1 terms (p ≠ any earlier pivot, so the
-            # pivot-lane branch never applies — linear accumulation)
-            rowp = jnp.sum(work_ref[:, :, :] * pm[:, None, :], axis=2,
-                           keepdims=True)                      # (BM, 2N, 1)
-            for i in range(t):
-                s = jnp.sum(fs[i] * pm, axis=1, keepdims=True)
-                rowp = rowp - rns[i] * s[:, :, None]
-            rn = rowp / piv[:, :, None]
             f = c * (1.0 - pm)                                 # no self-elim
             pms.append(pm)
-            rns.append(rn)
             fs.append(f)
             pivs.append(piv)
 
-        # ---- ONE fused read-modify-write applying all rank-1 steps ----
-        w = work_ref[:, :, :]
-        for pm, rn, f in zip(pms, rns, fs):
-            pm3 = pm[:, None, :]
-            w = (w - rn * f[:, None, :]) * (1.0 - pm3) + rn * pm3
-        work_ref[:, :, :] = w
+        # ---- phase B: chunked sweep, all steps per block in one temp ----
+        for j in range(0, w2, chunk):
+            w = work_ref[:, pl.ds(j, chunk), :]              # (BM, C, N)
+            for pm, f, piv in zip(pms, fs, pivs):
+                pm3 = pm[:, None, :]
+                # pivot row entries for THESE C rows (row-local masked
+                # lane reduction of the already-updated block)
+                rn = jnp.sum(w * pm3, axis=2,
+                             keepdims=True) / piv[:, :, None]  # (BM, C, 1)
+                w = (w - rn * f[:, None, :]) * (1.0 - pm3) + rn * pm3
+            work_ref[:, pl.ds(j, chunk), :] = w
         return 0
 
     jax.lax.fori_loop(0, n // steps, body, 0)
@@ -154,10 +162,12 @@ def _mm(lhs, rhs, contract=((1,), (0,))):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "steps"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "interpret", "steps", "chunk"))
 def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
                          interpret: bool | None = None,
-                         steps: int = 2) -> jnp.ndarray:
+                         steps: int = 4,
+                         chunk: int | None = None) -> jnp.ndarray:
     """Batched general-matrix inversion with partial pivoting, one launch.
 
     Drop-in for the reference's ``inverse_gauss_batched_gpu``
@@ -205,8 +215,11 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
     if steps not in (1, 2, 4, 8) or n % steps:
         raise ValueError(f"steps={steps} must be a power of two dividing "
                          f"the padded dim {n}")
+    if chunk is not None and (2 * n) % chunk:
+        raise ValueError(f"chunk={chunk} must divide the augmented sublane "
+                         f"dim {2 * n}")
     out = pl.pallas_call(
-        functools.partial(_gauss_jordan_kernel, steps=steps),
+        functools.partial(_gauss_jordan_kernel, steps=steps, chunk=chunk),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
