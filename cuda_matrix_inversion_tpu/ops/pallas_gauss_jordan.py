@@ -90,7 +90,9 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref,
     bm, n, _ = at_ref.shape
     w2 = 2 * n
     if chunk is None:
-        chunk = min(w2, 32)
+        # largest of {32, 16} dividing the augmented sublane dim (w2 = 2n
+        # with n tile-padded to a multiple of 8, so 16 always divides)
+        chunk = 32 if w2 % 32 == 0 else 16
 
     lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
     lanes_f = lanes_n.astype(jnp.float32)
@@ -163,11 +165,13 @@ def _mm(lhs, rhs, contract=((1,), (0,))):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "interpret", "steps", "chunk"))
+                   static_argnames=("block", "interpret", "steps", "chunk",
+                                    "polish"))
 def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
                          interpret: bool | None = None,
                          steps: int = 4,
-                         chunk: int | None = None) -> jnp.ndarray:
+                         chunk: int | None = None,
+                         polish: int = 1) -> jnp.ndarray:
     """Batched general-matrix inversion with partial pivoting, one launch.
 
     Drop-in for the reference's ``inverse_gauss_batched_gpu``
@@ -176,6 +180,16 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
     SPD.  Singular matrices produce non-finite outputs (the reference's
     empty else-branch, ``batched_invert.cu:29-31``, silently produced
     garbage instead).
+
+    ``polish`` Newton residual steps (X ← X + X(I − AX), HIGHEST
+    precision) follow the kernel — the same recipe as the large-n XLA
+    route (:func:`..xla.inverse_lu`).  Gauss-Jordan's forward residual
+    is κ(A)-proportional where LU's triangular solves are backward
+    -stable: on general random 100×128 fixtures (κ ≈ 512, r3 chip
+    ledger) the raw kernel sits at 6.3e-4 — past the 1e-4 gate the SPD
+    fixtures never probed, and independent of ``steps``, so it is the
+    formulation, not the fused sweep.  One squaring step lands ~1e-6
+    for ~1 ms on the 1600×128 headline shape.
     """
     if a.dtype == jnp.float64:
         # keep f64 exact: XLA LU path instead of fp32 VMEM round-trip
@@ -190,6 +204,7 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
         return _xla.inverse_lu(a)
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
+    a_unpadded = a
     a, n_orig = pad_matrix_dim(a)  # tile-align n (identity block pad)
     n = a.shape[-1]
 
@@ -233,4 +248,14 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
         ],
         interpret=default_interpret(interpret),
     )(at)
-    return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
+    x = out[:orig, :n_orig, :n_orig]
+    if polish:
+        eye = jnp.eye(n_orig, dtype=jnp.float32)
+        for _ in range(polish):
+            r = eye - _mm3(a_unpadded, x)
+            x = x + _mm3(x, r)
+    return x.astype(orig_dtype)
+
+
+def _mm3(lhs, rhs):
+    return jnp.matmul(lhs, rhs, precision=jax.lax.Precision.HIGHEST)
