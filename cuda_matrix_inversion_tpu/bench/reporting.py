@@ -177,15 +177,20 @@ def audit_outliers(csv_path: str, k: float = 3.0) -> list:
     Under the axon tunnel, a stall during one config lands an inflated
     row in the permanent CSV with nothing marking it (VERDICT r2 weak #4:
     a published 10× outlier).  The physics: the dependency-chained slope
-    timing cancels dispatch overhead, so per-matrix time for a given
-    (algorithm, n) must be ~flat or decreasing in batch size — tunnel
-    noise only ever *inflates*.  A row whose per-matrix mean time exceeds
-    ``k`` × the minimum per-matrix time among its (algorithm, n) siblings
-    is therefore noise, not a measurement.
+    timing cancels dispatch overhead, and tunnel noise only ever
+    *inflates* — so each (algorithm, n) sibling row gives an upper bound
+    on what any other batch size may honestly cost.  Total batch time is
+    at most linear in the batch count, but never decreasing: sibling j
+    bounds row i at ``mean_ms_j × max(1, num_i / num_j)``.  (The earlier
+    per-matrix-flat rule is the num_i ≥ num_j half of this; it misfired
+    on the ``square_5_*`` family, where a 5-matrix launch legitimately
+    costs many× more *per matrix* than an 80-matrix one — fixed launch
+    cost amortizes, it doesn't vanish.)  A row above ``k`` × its tightest
+    sibling bound is noise, not a measurement.
 
     Returns flag dicts: the parsed row plus ``ratio`` and
-    ``best_sibling_ms`` (per-matrix).  Rows with no sibling are never
-    flagged.
+    ``bound_ms`` (the tightest sibling-implied batch-total bound).
+    Rows with no sibling are never flagged.
     """
     rows = parse_csv_rows(csv_path)
     groups: dict = {}
@@ -195,13 +200,14 @@ def audit_outliers(csv_path: str, k: float = 3.0) -> list:
     for (_, _), grp in groups.items():
         if len(grp) < 2:
             continue
-        per_matrix = [r["mean_ms"] / r["num_matrices"] for r in grp]
-        for r, pm in zip(grp, per_matrix):
-            others = [q for q, other in zip(per_matrix, grp) if other is not r]
-            best = min(others)
-            if best > 0 and pm > k * best:
-                flags.append({**r, "ratio": pm / best,
-                              "best_sibling_ms": best})
+        for r in grp:
+            bounds = [q["mean_ms"] * max(1.0, r["num_matrices"]
+                                         / q["num_matrices"])
+                      for q in grp if q is not r]
+            bound = min(bounds)
+            if bound > 0 and r["mean_ms"] > k * bound:
+                flags.append({**r, "ratio": r["mean_ms"] / bound,
+                              "bound_ms": bound})
     return sorted(flags, key=lambda f: -f["ratio"])
 
 

@@ -57,8 +57,12 @@ def _remeasure_flagged(kind: str, csv_path: str, fixture_root: str,
 
     from cuda_matrix_inversion_tpu.bench.reporting import audit_outliers
 
+    root, ext = os.path.splitext(csv_path)
+    sidecar = f"{root}-outliers{ext or '.txt'}"
     flags = audit_outliers(csv_path, k=k)
     if not flags:
+        if os.path.exists(sidecar):  # stale from an earlier pass/rule
+            os.remove(sidecar)
         return []
     lines = open(csv_path).readlines()
     for f in flags:
@@ -110,12 +114,11 @@ def _remeasure_flagged(kind: str, csv_path: str, fixture_root: str,
         out.writelines(lines)
     os.replace(tmp, csv_path)
     remaining = audit_outliers(csv_path, k=k)
-    root, ext = os.path.splitext(csv_path)
-    sidecar = f"{root}-outliers{ext or '.txt'}"
     if remaining:
         with open(sidecar, "w") as out:
-            out.write("# rows >%.1fx their (algorithm, n) siblings per-matrix "
-                      "after one re-measurement; treat with suspicion\n" % k)
+            out.write("# rows >%.1fx their tightest (algorithm, n) sibling "
+                      "batch-total bound after one re-measurement; treat "
+                      "with suspicion\n" % k)
             for f in remaining:
                 out.write(f"{f['num_matrices']} {f['n']} {f['name']} "
                           f"mean_ms={f['mean_ms']:.6g} ratio={f['ratio']:.1f}\n")

@@ -88,6 +88,23 @@ def test_audit_clean_sweep_not_flagged(tmp_path):
     assert audit_outliers(str(p), k=3.0) == []
 
 
+def test_audit_tiny_batch_amortization_not_flagged(tmp_path):
+    p = tmp_path / "sweep.txt"
+    # square_5_* regime: a 5-matrix launch at ~the same TOTAL time as an
+    # 80-matrix one is fixed launch cost amortizing, not tunnel noise —
+    # 16x worse per matrix, and legitimate (r3: the per-matrix rule
+    # flagged half the square sweep this way)
+    _write_csv(p, [(5, 8, "alg", 0.06), (10, 8, "alg", 0.055),
+                   (80, 8, "alg", 0.05)])
+    assert audit_outliers(str(p), k=3.0) == []
+    # ...but a genuinely inflated small-batch row still flags: the
+    # 80-matrix sibling bounds ANY smaller batch at its own total time
+    _write_csv(p, [(5, 8, "alg", 0.9), (10, 8, "alg", 0.055),
+                   (80, 8, "alg", 0.05)])
+    flags = audit_outliers(str(p), k=3.0)
+    assert [f["num_matrices"] for f in flags] == [5]
+
+
 def test_audit_groups_by_n_and_skips_singletons(tmp_path):
     p = tmp_path / "sweep.txt"
     # large n is legitimately slower per matrix — must not cross-compare
