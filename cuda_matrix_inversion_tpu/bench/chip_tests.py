@@ -163,7 +163,10 @@ def pivoting_kernels_gate_100x128():
     a = make_square_batch(100, 128, np.random.default_rng(19)).astype(
         np.float32)
     errs = {}
-    for name in ("gauss_pallas", "lu_pallas"):
+    # "lu" (the XLA expander) rides along: its raw residual is
+    # κ-proportional and broke the gate at n=128/κ≈512 until the polish
+    # went unconditional (r3) — keep that class pinned on hardware
+    for name in ("gauss_pallas", "lu_pallas", "lu"):
         errs[name] = _gate_err(a, np.asarray(get_inverse_algorithm(name)(a)))
     ok = all(e < GATE for e in errs.values())
     return ok, " ".join(f"{k}_err={v:.3g}" for k, v in errs.items())

@@ -44,17 +44,18 @@ def inverse_lu(a: jnp.ndarray) -> jnp.ndarray:
     ``inverse_lu_cuda_batched_device`` (cublasSgetrf/SgetriBatched,
     ``src/gauss/inverse_gpu.cu:16-58``).
 
-    For n > 192 in fp32 one Newton residual-polish step
-    (X ← X + X(I − AX), HIGHEST precision) follows the factorization:
-    the raw expander's fp32 residual grows to ~1e-3 by n ≈ 512, past the
-    1e-4 gate, and the two extra matmuls (< 10% of the factorization
-    cost) bring the general-matrix large-n route back under it — so the
-    gate holds on the whole advertised 8…512 range for general matrices,
-    not just the SPD (Schur) entries.  Non-finite inputs/singular
+    In fp32 one Newton residual-polish step (X ← X + X(I − AX), HIGHEST
+    precision) follows the factorization.  The raw expander's residual is
+    κ-proportional, not just n-proportional: r2 gated it by n > 192
+    (where it reaches ~1e-3 by n ≈ 512 on the κ ≈ 2–4 SPD fixtures), but
+    the r3 general-square family showed 7e-4 at n = 128 / κ ≈ 512 — past
+    the 1e-4 gate at a size the threshold exempted — so the polish now
+    runs unconditionally in fp32 (the two extra matmuls are < 2% of the
+    expander's cost at every measured shape).  Non-finite inputs/singular
     matrices still propagate NaN.
     """
     x = jnp.linalg.inv(a)
-    if a.shape[-1] > 192 and a.dtype != jnp.float64:
+    if a.dtype != jnp.float64:
         eye = jnp.eye(a.shape[-1], dtype=x.dtype)
         r = eye - jnp.matmul(a, x, precision=_PREC)
         x = x + jnp.matmul(x, r, precision=_PREC)
