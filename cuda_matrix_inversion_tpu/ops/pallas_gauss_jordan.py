@@ -84,7 +84,8 @@ def _gauss_jordan_kernel(at_ref, out_ref, work_ref, used_ref, pidx_ref,
     — (BM, chunk, N) temps keep the stack bounded regardless of steps.
     Chip A/B at 1600×128 (r3, chunked body): steps=4 13.67 ms,
     steps=2 14.09, steps=8 14.54; chunk 32 and 64 tie, 16 costs 0.6 ms
-    — hence the steps=4 / chunk=min(2n, 32) defaults.
+    — hence the defaults steps=4 and chunk = the largest of {32, 16}
+    dividing 2n (16 whenever n is an odd multiple of 8).
     n is tile-padded, so any power-of-two ``steps`` divides it.
     """
     bm, n, _ = at_ref.shape
@@ -191,14 +192,21 @@ def inverse_gauss_jordan(a: jnp.ndarray, block: int | None = None,
     formulation, not the fused sweep.  One squaring step lands ~1e-6
     for ~1 ms on the 1600×128 headline shape.
     """
-    if a.dtype == jnp.float64:
-        # keep f64 exact: XLA LU path instead of fp32 VMEM round-trip
-        from cuda_matrix_inversion_tpu.ops import xla as _xla
-
-        return _xla.inverse_lu(a)
-    if a.shape[-1] > 192:
-        # the augmented (n, 2n) block exceeds VMEM sooner than Cholesky —
-        # big matrices route to the XLA LU factorization
+    if a.dtype == jnp.float64 or a.shape[-1] > 192:
+        # f64 must stay exact (no fp32 VMEM round-trip), and the
+        # augmented (n, 2n) block exceeds VMEM sooner than Cholesky —
+        # both route to the XLA LU factorization.  That route has its
+        # own fixed schedule (one unconditional polish, no fused steps),
+        # so honoring non-default kernel knobs is impossible: fail
+        # loudly rather than return a result that ignores them (the
+        # `_no_factor_only` contract in pallas_lu — a silent mismatch
+        # would corrupt e.g. a polish=0 raw-kernel A/B).
+        if (steps, chunk, polish) != (4, None, 1):
+            route = ("the f64 XLA route" if a.dtype == jnp.float64
+                     else "n > 192 (XLA route)")
+            raise ValueError(
+                f"steps/chunk/polish are Pallas-kernel knobs and cannot be "
+                f"honored on {route}; call with the defaults there")
         from cuda_matrix_inversion_tpu.ops import xla as _xla
 
         return _xla.inverse_lu(a)
