@@ -242,6 +242,18 @@ def main(argv=None) -> int:
         print("budget exhausted, configs remain (rerun to resume)",
               file=sys.stderr)
         return 3
+    if args.out and done and os.path.getsize(args.out) == 0:
+        # A complete progress file with an empty output table means the
+        # table was truncated AFTER the rows were written (e.g. a caller's
+        # fresh-start truncation paired with a progress file from an
+        # earlier run).  Auditing/regenerating companions from the empty
+        # table would silently wipe the installed results — fail loudly
+        # instead (this happened: chip_session r3 wiped square-bench.txt).
+        print(f"sweep: {args.out} is empty but the progress file marks "
+              f"{len(done)} configs done — stale progress vs truncated "
+              "output; refusing to audit or rewrite companions. Delete "
+              "the progress file to re-sweep from scratch.", file=sys.stderr)
+        return 1
     if args.out:
         if not args.no_audit:
             _remeasure_flagged(args.kind, args.out, args.fixture_root,

@@ -141,6 +141,29 @@ def test_sweep_resumable_chunks_and_errors_companion(fixture_root, tmp_path):
     assert len(lines) == 4 and all(len(p) == 6 for p in lines)
 
 
+def test_sweep_refuses_empty_table_with_complete_progress(fixture_root,
+                                                          tmp_path, capsys):
+    # Regression (r3): a complete progress file + an externally truncated
+    # output table must fail loudly, NOT audit the empty table and wipe
+    # the -errors/-outliers companions (this silently emptied
+    # results/square-bench.txt when chip_session re-entered a sweep whose
+    # progress file came from a manual run).
+    from cuda_matrix_inversion_tpu.bench import sweep
+
+    out = tmp_path / "rows.txt"
+    prog = tmp_path / "progress.txt"
+    base = ["inverse", fixture_root, "--reps", "1", "--max-dups", "2",
+            "--algorithms", "lu", "--out", str(out),
+            "--progress", str(prog)]
+    assert sweep.main(base) == 0
+    comp = tmp_path / "rows-errors.txt"
+    assert comp.exists() and comp.read_text()
+    out.write_text("")  # external truncation (chip_session fresh-start)
+    assert sweep.main(base) == 1
+    assert "refusing to audit" in capsys.readouterr().err
+    assert comp.read_text()  # companions untouched
+
+
 def test_membench_runs():
     from cuda_matrix_inversion_tpu.bench import membench
 

@@ -155,7 +155,15 @@ run_sweep() { # kind outfile
     if ! stage_done "sweep_$kind"; then
         say "stage sweep_$kind"
         if [ ! -f "$STATE/sweep_$kind.started" ]; then
-            : > "$out"            # truncate once; resume appends
+            # truncate once so the rewritten kernels re-measure every row —
+            # but ONLY when there is no completed progress: a progress file
+            # from a manual run of the same sweep with a missing .started
+            # marker must not wipe the installed table (this happened to
+            # square-bench.txt in r3; sweep.py now also refuses to audit
+            # an empty table, belt and braces)
+            if [ ! -s "$STATE/sweep_$kind.progress" ]; then
+                : > "$out"        # truncate once; resume appends
+            fi
             date -Is > "$STATE/sweep_$kind.started"
         fi
         local budget=$(( CHUNK_S - $(elapsed) ))
