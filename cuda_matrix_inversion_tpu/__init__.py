@@ -53,6 +53,10 @@ from cuda_matrix_inversion_tpu.models.gp import (
     gp_mean_variance,
     gp_mean_variance_multi,
 )
+from cuda_matrix_inversion_tpu.models.gp_fit import (
+    GPFitResult,
+    fit_gp_scales,
+)
 from cuda_matrix_inversion_tpu.engine import GPEngine, InversionEngine
 
 __version__ = "0.1.0"
@@ -72,6 +76,8 @@ __all__ = [
     "gp_mean_variance",
     "gp_mean_variance_multi",
     "gp_log_marginal_likelihood",
+    "fit_gp_scales",
+    "GPFitResult",
     "InversionEngine",
     "GPEngine",
     "__version__",
