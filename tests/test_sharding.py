@@ -64,6 +64,31 @@ def test_sharded_gp_pipeline(mesh, rng):
     np.testing.assert_allclose(np.asarray(v2), var_ref, atol=1e-4)
 
 
+def test_sharded_gp_fit(mesh, rng):
+    # hyper-parameter fitting is per-system independent (loss decouples,
+    # params are (batch, 2)), so GSPMD splits the whole Adam/lax.scan fit
+    # over the batch axis with no collectives beyond the scalar loss mean
+    import jax.numpy as jnp
+
+    from cuda_matrix_inversion_tpu.models import gp_fit
+    from cuda_matrix_inversion_tpu.parallel.mesh import batch_sharding
+
+    batch, n, rank = 16, 16, 4
+    w = rng.standard_normal((batch, n, rank))
+    b = (w @ np.transpose(w, (0, 2, 1)) + 0.05 * np.eye(n)).astype(np.float32)
+    c = (rng.random((batch, n, 1)) + 0.5).astype(np.float32)
+    d = rng.standard_normal((batch, n, 1)).astype(np.float32)
+    bb = jax.device_put(jnp.asarray(b), batch_sharding(mesh, 3))
+    cc = jax.device_put(jnp.asarray(c), batch_sharding(mesh, 3))
+    dd = jax.device_put(jnp.asarray(d), batch_sharding(mesh, 3))
+    res = gp_fit.fit_gp_scales(bb, cc, dd, steps=30, lr=0.05)
+    assert len(res.lml.sharding.device_set) == 8
+    ref = gp_fit.fit_gp_scales(*map(jnp.asarray, (b, c, d)), steps=30,
+                               lr=0.05)
+    np.testing.assert_allclose(np.asarray(res.lml), np.asarray(ref.lml),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pad_to_multiple(rng):
     a = make_spd_batch(13, 4, rng)
     padded, orig = pad_to_multiple(a, 8)
