@@ -195,6 +195,35 @@ def gp_fused_gate_128():
     return _check(err)
 
 
+def gp_lml_fused_fit_1600():
+    """The fused-LML hyper-parameter fit (ops/pallas_gp.py) inside its
+    real scan+jvp caller at 1600×128 — the shape whose scoped-VMEM margin
+    regressed in r3 (bm=24 blew the 16 MB stack by 176 KB under the jvp
+    caller; shipped bm ≤ 16).  Two real Adam steps must run, improve the
+    LML, and the custom-VJP gradient must match the XLA autodiff chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_matrix_inversion_tpu.models import gp_fit
+
+    rng = np.random.default_rng(21)
+    batch, n = 1600, 128
+    w = rng.standard_normal((batch, n, 12))
+    b = (w @ np.transpose(w, (0, 2, 1)) + 0.05 * np.eye(n)).astype(np.float32)
+    c = (rng.random((batch, n, 1)) + 0.5).astype(np.float32)
+    d = rng.standard_normal((batch, n, 1)).astype(np.float32)
+    bb, cc, dd = map(jnp.asarray, (b, c, d))
+    res = gp_fit.fit_gp_scales(bb, cc, dd, steps=2, method="pallas")
+    path = np.asarray(res.lml_path)
+    theta = jnp.zeros((batch, 2), jnp.float32)
+    gs = [np.asarray(jax.grad(lambda t, m=m: -jnp.mean(gp_fit._batch_lml(
+        t, bb, cc, dd, method=m)))(theta)) for m in ("pallas", "xla")]
+    gerr = float(np.abs(gs[0] - gs[1]).max())
+    ok = bool(np.isfinite(path).all() and path[-1] >= path[0]
+              and gerr < GATE)
+    return ok, f"grad_err={gerr:.3g} lml {path[0]:.2f}->{path[-1]:.2f}"
+
+
 CHECKS = [
     ("ns_spd10_schur_n240", ns_spd10_schur_n240),   # the r3 fix: run first
     ("ns_spd10_kappa10_edge", ns_spd10_kappa10_edge),
@@ -205,6 +234,7 @@ CHECKS = [
     ("warm_start_delta_edge", warm_start_delta_edge),
     ("pivoting_kernels_gate_100x128", pivoting_kernels_gate_100x128),
     ("gp_fused_gate_128", gp_fused_gate_128),
+    ("gp_lml_fused_fit_1600", gp_lml_fused_fit_1600),
     ("schur_512_cholesky", schur_512_cholesky),
     ("schur_512_ns_spd", schur_512_ns_spd),
 ]

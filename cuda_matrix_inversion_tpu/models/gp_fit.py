@@ -60,20 +60,33 @@ def apply_scales(b, c, log_amp, log_noise):
     return b * amp2, c * noise2
 
 
-def _batch_lml(theta, b, c, d):
+def _batch_lml(theta, b, c, d, method: str = "xla"):
     """Per-system LML under θ — (batch,)."""
     b_hat, c_hat = apply_scales(b, c, theta[:, 0], theta[:, 1])
+    if method == "pallas":
+        # fused Pallas forward + analytic custom-VJP backward riding the
+        # fused inverse kernel (ops/pallas_gp.py) — the fast fit loop
+        from cuda_matrix_inversion_tpu.ops.pallas_gp import (
+            gp_log_marginal_likelihood_fused,
+        )
+
+        return gp_log_marginal_likelihood_fused(b_hat, c_hat, d)
+    if method != "xla":
+        raise ValueError(f"unknown method {method!r} (xla | pallas)")
     return gp_log_marginal_likelihood(b_hat, c_hat, d)
 
 
-@partial(jax.jit, static_argnames=("steps", "lr"))
+@partial(jax.jit, static_argnames=("steps", "lr", "method"))
 def fit_gp_scales(b, c, d, steps: int = 150, lr: float = 0.05,
-                  theta0=None) -> GPFitResult:
+                  theta0=None, method: str = "xla") -> GPFitResult:
     """Fit (log_amp, log_noise) per system by Adam on −LML.
 
     Shapes: b — (batch, n, n) SPD; c, d — (batch, n, 1);
     ``theta0`` — optional (batch, 2) initial (log_amp, log_noise),
     default zeros (i.e. start from the input scales).
+    ``method='pallas'`` runs every step's LML forward AND gradient on the
+    fused Pallas kernels (one factor launch + one inverse launch per
+    step); ``'xla'`` uses the expander + autodiff chain.
 
     The loss is ``−mean(LML)``; because systems share no parameters the
     per-system gradients are exact regardless of the reduction.  The
@@ -84,7 +97,7 @@ def fit_gp_scales(b, c, d, steps: int = 150, lr: float = 0.05,
     theta = (jnp.zeros((batch, 2), dtype=b.dtype) if theta0 is None
              else jnp.asarray(theta0, dtype=b.dtype))
     opt = optax.adam(lr)
-    loss_fn = lambda t: -jnp.mean(_batch_lml(t, b, c, d))
+    loss_fn = lambda t: -jnp.mean(_batch_lml(t, b, c, d, method=method))
 
     def step(carry, _):
         t, opt_state = carry
@@ -96,12 +109,13 @@ def fit_gp_scales(b, c, d, steps: int = 150, lr: float = 0.05,
     (theta, _), lml_path = jax.lax.scan(
         step, (theta, opt.init(theta)), None, length=steps)
     return GPFitResult(log_amp=theta[:, 0], log_noise=theta[:, 1],
-                       lml=_batch_lml(theta, b, c, d), lml_path=lml_path)
+                       lml=_batch_lml(theta, b, c, d, method=method),
+                       lml_path=lml_path)
 
 
 def fit_gp_scales_host(b, c, d, steps: int = 150, lr: float = 0.05,
-                       theta0=None) -> GPFitResult:
+                       theta0=None, method: str = "xla") -> GPFitResult:
     """NumPy-in/NumPy-out flavor (analog of the ``*_gpu`` host wrappers)."""
     res = fit_gp_scales(*(jnp.asarray(x) for x in (b, c, d)),
-                        steps=steps, lr=lr, theta0=theta0)
+                        steps=steps, lr=lr, theta0=theta0, method=method)
     return GPFitResult(*(np.asarray(jax.device_get(x)) for x in res))

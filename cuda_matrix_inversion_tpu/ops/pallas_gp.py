@@ -189,6 +189,170 @@ def gp_mean_variance_fused(a, b, c, d, e, block: int | None = None,
 
 
 # ---------------------------------------------------------------------------
+# Fused log marginal likelihood — the hyper-parameter-fit hot loop
+# ---------------------------------------------------------------------------
+
+
+def _gp_lml_kernel(pw, b_ref, c_ref, d_ref, out_ref,
+                   work_ref, lt_ref, w_ref, *small_refs):
+    """Per system: quad = dᵀK⁻¹d and logdet = log|K| in one VMEM pass.
+
+    b: (BM, N, N); c, d: (BM, N); out: (BM, 2) = [quad, logdet].  The
+    Cholesky factor+inverse body produces Lᵀ rows and W = L⁻¹ in VMEM;
+    quad = ‖W d‖² (one (1,N)@(N,N) MXU op per matrix) and the
+    log-determinant is 2·Σ log diag L, the diagonal extracted by a
+    cross-sublane masked reduction (never a lane-dim dynamic index).
+    """
+    bm, n, _ = b_ref.shape
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.float32)
+
+    work_ref[:, :, :] = b_ref[:, :, :] + eye * c_ref[:, :][:, None, :]
+
+    if pw is None:
+        _cholesky_factor_inverse_body(n, work_ref, lt_ref, w_ref)
+    else:
+        _blocked_lt_w(pw, work_ref, lt_ref, w_ref, *small_refs)
+
+    for b in range(bm):
+        t = _mm(d_ref[b, :][None, :], w_ref[b, :, :],
+                contract=((1,), (1,)))                     # (1, N) = (W d)ᵀ
+        quad = jnp.sum(t * t, axis=1, keepdims=True)       # (1, 1)
+        # lane j of the cross-sublane sum picks L[j, j] (lt holds Lᵀ rows,
+        # so column j of lt is row j of L — eye masks the diagonal)
+        diag = jnp.sum(lt_ref[b, :, :] * eye, axis=0)[None, :]   # (1, N)
+        logdet = 2.0 * jnp.sum(jnp.log(diag), axis=1, keepdims=True)
+        out_ref[b:b + 1, :] = jnp.concatenate([quad, logdet], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _lml_fused_quad_logdet(b, c, d, block: int | None = None,
+                           interpret: bool | None = None):
+    """(quad, logdet) per system via the fused kernel — f32, n ≤ 256.
+
+    Same padding/blocking scheme as :func:`gp_mean_variance_fused`;
+    identity-padded tail rows contribute log 1 = 0 to the logdet and the
+    zero-padded d rows contribute nothing to the quadratic form.
+    """
+    d_dummy = d  # _pad_gp_system pads (a, b, c, d); reuse d for the a slot
+    _, b, c, d, _n = _pad_gp_system(d_dummy, b, c, d)
+    batch, n, _ = b.shape
+    f32 = jnp.float32
+    c2, d2 = (x.astype(f32)[:, :, 0] for x in (c, d))
+    b2 = b.astype(f32)
+
+    if block is not None:
+        bm = block
+    elif _panel_width(n) is not None:
+        # one notch below the GP kernel's tuned_block(n): under a jvp/scan
+        # caller the same bm=24 footprint blew the 16 MB scoped-VMEM stack
+        # by 176 KB at 1600×128 (r3 chip measurement — the "margins move
+        # with the caller" class); 4·2¹⁹ keeps the ≥2 MB headroom rule
+        bm = tuned_block(n, numerator=4 * 2**19, max_bm=16)
+    else:
+        bm = block_batch(batch, n, buffers=4)
+    pad = (-batch) % bm if batch else bm
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=f32), (pad, n, n))
+        b2 = jnp.concatenate([b2, eye], axis=0)
+        zv = jnp.zeros((pad, n), f32)
+        c2 = jnp.concatenate([c2, zv], axis=0)
+        d2 = jnp.concatenate([d2, zv], axis=0)
+    grid = b2.shape[0] // bm
+
+    pw = _panel_width(n)
+    scratch = [
+        pltpu.VMEM((bm, n, n), f32),  # work
+        pltpu.VMEM((bm, n, n), f32),  # lt
+        pltpu.VMEM((bm, n, n), f32),  # w
+    ]
+    if pw is not None:
+        scratch += [
+            pltpu.VMEM((bm, pw, pw), f32),
+            pltpu.VMEM((bm, pw, pw), f32),
+            pltpu.VMEM((bm, pw, pw), f32),
+            pltpu.VMEM((bm, n, pw), f32),
+        ]
+
+    vec = lambda: pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_gp_lml_kernel, pw),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            vec(),
+            vec(),
+        ],
+        out_specs=pl.BlockSpec((bm, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b2.shape[0], 2), f32),
+        scratch_shapes=scratch,
+        interpret=default_interpret(interpret),
+    )(b2, c2, d2)
+    return out[:batch, 0], out[:batch, 1]
+
+
+@jax.custom_vjp
+def _lml_fused(b, c, d):
+    quad, logdet = _lml_fused_quad_logdet(b, c, d)
+    n = b.shape[-1]
+    return (-0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))).astype(b.dtype)
+
+
+def _lml_fused_fwd(b, c, d):
+    return _lml_fused(b, c, d), (b, c, d)
+
+
+def _lml_fused_bwd(res, g):
+    """Analytic VJP — backward rides the fast Pallas inverse.
+
+    ∂LML/∂K = ½(ααᵀ − K⁻¹) with α = K⁻¹d; ∂LML/∂d = −α.  K = B + diag c
+    means ∂/∂B is the full matrix and ∂/∂c its diagonal.  One
+    :func:`..ops.pallas_cholesky.inverse_cholesky` launch replaces XLA's
+    chain through the Cholesky VJP (two triangular solves + matmuls over
+    HBM).  Gradient precision inherits the kernel's ~1e-5 gate — ample
+    for the Adam fit this path exists for.
+    """
+    from cuda_matrix_inversion_tpu.ops.pallas_cholesky import inverse_cholesky
+    from cuda_matrix_inversion_tpu.ops.xla import add_diagonal
+
+    b, c, d = res
+    kinv = inverse_cholesky(add_diagonal(b, c))
+    hi = jax.lax.Precision.HIGHEST
+    alpha = jnp.matmul(kinv, d, precision=hi)              # (batch, n, 1)
+    gk = 0.5 * (jnp.matmul(alpha, jnp.swapaxes(alpha, -1, -2), precision=hi)
+                - kinv)
+    gm = g[:, None, None].astype(gk.dtype)
+    gb = gm * gk
+    gc = gm * jnp.diagonal(gk, axis1=-2, axis2=-1)[:, :, None]
+    gd = gm * (-alpha)
+    return gb.astype(b.dtype), gc.astype(c.dtype), gd.astype(d.dtype)
+
+
+_lml_fused.defvjp(_lml_fused_fwd, _lml_fused_bwd)
+
+
+def gp_log_marginal_likelihood_fused(b, c, d):
+    """Batched GP log marginal likelihood via ONE fused Pallas launch,
+    differentiable through an analytic custom VJP.
+
+    Same contract as :func:`..models.gp.gp_log_marginal_likelihood`
+    (b — (batch, n, n); c, d — (batch, n, 1) → (batch,)), but the
+    forward is a single kernel (factor K in VMEM, emit dᵀK⁻¹d and
+    log|K| — two scalars per system written to HBM) and the backward is
+    one fused-inverse launch plus elementwise math, instead of XLA's
+    cholesky + four triangular-solve chain.  f64 and n > 256 fall back
+    to the XLA path (its autodiff is exact there).
+    """
+    if b.dtype == jnp.float64 or b.shape[-1] > 256:
+        from cuda_matrix_inversion_tpu.models.gp import (
+            gp_log_marginal_likelihood,
+        )
+
+        return gp_log_marginal_likelihood(b, c, d)
+    return _lml_fused(b, c, d)
+
+
+# ---------------------------------------------------------------------------
 # Warm-start fused variant — serving slowly-varying GP systems
 # ---------------------------------------------------------------------------
 
