@@ -193,3 +193,74 @@ def sharded_gp_mean_variance(mesh, a, b, c, d, e, method: str = "solve"):
         return sharded_gp_shard_map(mesh, a, b, c, d, e, method=method)
     args = [_shard(mesh, x) for x in (a, b, c, d, e)]
     return _gp_annotated(*args, method=method)
+
+
+# ---- GP hyper-parameter fit ----
+
+@functools.lru_cache(maxsize=16)
+def _fit_shard_mapped(mesh, steps: int, lr: float, method: str):
+    from cuda_matrix_inversion_tpu.models.gp_fit import fit_gp_scales
+
+    spec3 = P(BATCH_AXIS, None, None)
+    spec1 = P(BATCH_AXIS)
+
+    def run(b, c, d):
+        # per-shard loss = mean over the LOCAL shard.  Per-system
+        # gradients are independent and Adam's m̂/√v̂ normalization
+        # cancels the 1/batch scale (up to its eps term), so each
+        # system's trajectory matches the global fit; lml_path is
+        # pmean'd into the global per-step trace.
+        res = fit_gp_scales(b, c, d, steps=steps, lr=lr, method=method)
+        return (res.log_amp, res.log_noise, res.lml,
+                jax.lax.pmean(res.lml_path, BATCH_AXIS))
+
+    return jax.jit(jax.shard_map(
+        run, mesh=mesh, in_specs=(spec3, spec3, spec3),
+        out_specs=(spec1, spec1, spec1, P()), check_vma=False))
+
+
+def _pad_fit_to_mesh(mesh, b, c, d):
+    """Inert fit padding: identity B, unit noise diag, zero observations.
+    The padded systems still carry (their own, discarded) θ parameters —
+    there is no θ-independent system — but they touch nothing else."""
+    size = int(mesh.devices.size)
+    batch = b.shape[0]
+    rem = batch % size
+    b, c, d = (jnp.asarray(x) for x in (b, c, d))
+    if rem == 0 and batch > 0:
+        return (b, c, d), batch
+    pad = size - rem if batch > 0 else size
+    n = b.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=b.dtype), (pad, n, n))
+    return (
+        jnp.concatenate([b, eye], axis=0),
+        jnp.concatenate([c, jnp.ones((pad, n, 1), c.dtype)], axis=0),
+        jnp.concatenate([d, jnp.zeros((pad, n, 1), d.dtype)], axis=0),
+    ), batch
+
+
+def sharded_fit_gp_scales(mesh, b, c, d, steps: int = 150, lr: float = 0.05,
+                          method: str = "xla"):
+    """Hyper-parameter fit over the mesh (``models/gp_fit.py``).
+
+    ``method='pallas'`` (the fused-LML loop) routes through shard_map —
+    its forward/backward are Mosaic custom calls GSPMD cannot split —
+    with each shard running the whole Adam scan on its local systems (no
+    cross-shard collectives: parameters are per-system).  XLA methods
+    shard via the partitioner.  Returns a ``GPFitResult`` with sharded
+    per-system leaves and a replicated global ``lml_path``.
+    """
+    from cuda_matrix_inversion_tpu.models.gp_fit import (
+        GPFitResult,
+        fit_gp_scales,
+    )
+
+    if method != "pallas":
+        args = [_shard(mesh, jnp.asarray(x)) for x in (b, c, d)]
+        return fit_gp_scales(*args, steps=steps, lr=lr, method=method)
+    (b, c, d), batch = _pad_fit_to_mesh(mesh, b, c, d)
+    la, ln, lml, path = _fit_shard_mapped(mesh, steps, lr, method)(
+        _shard(mesh, b), _shard(mesh, c), _shard(mesh, d))
+    if la.shape[0] != batch:
+        la, ln, lml = la[:batch], ln[:batch], lml[:batch]
+    return GPFitResult(log_amp=la, log_noise=ln, lml=lml, lml_path=path)

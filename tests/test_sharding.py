@@ -89,6 +89,34 @@ def test_sharded_gp_fit(mesh, rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_gp_fit_pallas_shard_map(mesh, rng):
+    # the fused-LML fit must route through shard_map (Mosaic custom
+    # calls are unsplittable by GSPMD on real chips); per-shard Adam on
+    # the local mean matches the global fit because per-system grads are
+    # independent and Adam cancels the 1/batch scale.  batch=12 over 8
+    # devices also exercises the inert-system padding.
+    import jax.numpy as jnp
+
+    from cuda_matrix_inversion_tpu.models import gp_fit
+
+    batch, n, rank = 12, 16, 4
+    w = rng.standard_normal((batch, n, rank))
+    b = (w @ np.transpose(w, (0, 2, 1)) + 0.05 * np.eye(n)).astype(np.float32)
+    c = (rng.random((batch, n, 1)) + 0.5).astype(np.float32)
+    d = rng.standard_normal((batch, n, 1)).astype(np.float32)
+    res = sharded.sharded_fit_gp_scales(mesh, b, c, d, steps=30, lr=0.05,
+                                        method="pallas")
+    assert res.log_amp.shape == (batch,)
+    ref = gp_fit.fit_gp_scales(*map(jnp.asarray, (b, c, d)), steps=30,
+                               lr=0.05, method="pallas")
+    np.testing.assert_allclose(np.asarray(res.log_amp),
+                               np.asarray(ref.log_amp), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.log_noise),
+                               np.asarray(ref.log_noise), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.lml), np.asarray(ref.lml),
+                               rtol=1e-3, atol=1e-2)
+
+
 def test_pad_to_multiple(rng):
     a = make_spd_batch(13, 4, rng)
     padded, orig = pad_to_multiple(a, 8)
