@@ -193,8 +193,8 @@ def gp_mean_variance_fused(a, b, c, d, e, block: int | None = None,
 # ---------------------------------------------------------------------------
 
 
-def _gp_lml_kernel(pw, b_ref, c_ref, d_ref, out_ref,
-                   work_ref, lt_ref, w_ref, *small_refs):
+def _gp_lml_kernel(pw, emit_w, b_ref, c_ref, d_ref, out_ref,
+                   *rest_refs):
     """Per system: quad = dᵀK⁻¹d and logdet = log|K| in one VMEM pass.
 
     b: (BM, N, N); c, d: (BM, N); out: (BM, 2) = [quad, logdet].  The
@@ -202,7 +202,16 @@ def _gp_lml_kernel(pw, b_ref, c_ref, d_ref, out_ref,
     quad = ‖W d‖² (one (1,N)@(N,N) MXU op per matrix) and the
     log-determinant is 2·Σ log diag L, the diagonal extracted by a
     cross-sublane masked reduction (never a lane-dim dynamic index).
+
+    ``emit_w``: the autodiff-forward flavor — W and αᵀ = (W d)ᵀ W are
+    ALSO written to HBM so the custom VJP can form K⁻¹ = WᵀW with one
+    batched matmul instead of refactorizing (w/alpha become outputs 2/3
+    and w doubles as the factor workspace instead of a scratch buffer).
     """
+    if emit_w:
+        w_ref, alpha_ref, work_ref, lt_ref, *small_refs = rest_refs
+    else:
+        work_ref, lt_ref, w_ref, *small_refs = rest_refs
     bm, n, _ = b_ref.shape
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(jnp.float32)
@@ -223,19 +232,27 @@ def _gp_lml_kernel(pw, b_ref, c_ref, d_ref, out_ref,
         diag = jnp.sum(lt_ref[b, :, :] * eye, axis=0)[None, :]   # (1, N)
         logdet = 2.0 * jnp.sum(jnp.log(diag), axis=1, keepdims=True)
         out_ref[b:b + 1, :] = jnp.concatenate([quad, logdet], axis=1)
+        if emit_w:
+            # αᵀ = (W d)ᵀ W = dᵀK⁻¹ — one more (1,N)@(N,N) MXU op
+            alpha_ref[b:b + 1, :] = _mm(t, w_ref[b, :, :])
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def _lml_fused_quad_logdet(b, c, d, block: int | None = None,
+@functools.partial(jax.jit, static_argnames=("emit_w", "block", "interpret"))
+def _lml_fused_quad_logdet(b, c, d, emit_w: bool = False,
+                           block: int | None = None,
                            interpret: bool | None = None):
-    """(quad, logdet) per system via the fused kernel — f32, n ≤ 256.
+    """(quad, logdet[, w, alpha]) per system via the fused kernel — f32,
+    n ≤ 256.
 
     Same padding/blocking scheme as :func:`gp_mean_variance_fused`;
     identity-padded tail rows contribute log 1 = 0 to the logdet and the
     zero-padded d rows contribute nothing to the quadratic form.
+    ``emit_w=True`` (the autodiff forward) additionally returns
+    W = L⁻¹ and α = K⁻¹d, sliced back to the original n — exact, because
+    the identity padding makes W/K⁻¹ block-diagonal.
     """
     d_dummy = d  # _pad_gp_system pads (a, b, c, d); reuse d for the a slot
-    _, b, c, d, _n = _pad_gp_system(d_dummy, b, c, d)
+    _, b, c, d, n_orig = _pad_gp_system(d_dummy, b, c, d)
     batch, n, _ = b.shape
     f32 = jnp.float32
     c2, d2 = (x.astype(f32)[:, :, 0] for x in (c, d))
@@ -264,8 +281,9 @@ def _lml_fused_quad_logdet(b, c, d, block: int | None = None,
     scratch = [
         pltpu.VMEM((bm, n, n), f32),  # work
         pltpu.VMEM((bm, n, n), f32),  # lt
-        pltpu.VMEM((bm, n, n), f32),  # w
     ]
+    if not emit_w:
+        scratch.append(pltpu.VMEM((bm, n, n), f32))  # w stays on-chip
     if pw is not None:
         scratch += [
             pltpu.VMEM((bm, pw, pw), f32),
@@ -275,57 +293,70 @@ def _lml_fused_quad_logdet(b, c, d, block: int | None = None,
         ]
 
     vec = lambda: pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    mat = lambda: pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    out_specs = pl.BlockSpec((bm, 2), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b2.shape[0], 2), f32)
+    if emit_w:
+        out_specs = (out_specs, mat(), vec())
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct(b2.shape, f32),
+                     jax.ShapeDtypeStruct((b2.shape[0], n), f32))
     out = pl.pallas_call(
-        functools.partial(_gp_lml_kernel, pw),
+        functools.partial(_gp_lml_kernel, pw, emit_w),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            vec(),
-            vec(),
-        ],
-        out_specs=pl.BlockSpec((bm, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b2.shape[0], 2), f32),
+        in_specs=[mat(), vec(), vec()],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=default_interpret(interpret),
     )(b2, c2, d2)
+    if emit_w:
+        out, w, alpha = out
+        return (out[:batch, 0], out[:batch, 1],
+                w[:batch, :n_orig, :n_orig], alpha[:batch, :n_orig])
     return out[:batch, 0], out[:batch, 1]
+
+
+def _lml_from(quad, logdet, n):
+    return -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
 
 @jax.custom_vjp
 def _lml_fused(b, c, d):
     quad, logdet = _lml_fused_quad_logdet(b, c, d)
-    n = b.shape[-1]
-    return (-0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))).astype(b.dtype)
+    return _lml_from(quad, logdet, b.shape[-1]).astype(b.dtype)
 
 
 def _lml_fused_fwd(b, c, d):
-    return _lml_fused(b, c, d), (b, c, d)
+    # the emit_w flavor: W = L⁻¹ and α = K⁻¹d ride out of the SAME kernel
+    # launch as the value, so the backward needs no factorization at all
+    quad, logdet, w, alpha = _lml_fused_quad_logdet(b, c, d, emit_w=True)
+    lml = _lml_from(quad, logdet, b.shape[-1]).astype(b.dtype)
+    return lml, (w, alpha)
 
 
 def _lml_fused_bwd(res, g):
-    """Analytic VJP — backward rides the fast Pallas inverse.
+    """Analytic VJP from the forward's own residuals.
 
     ∂LML/∂K = ½(ααᵀ − K⁻¹) with α = K⁻¹d; ∂LML/∂d = −α.  K = B + diag c
-    means ∂/∂B is the full matrix and ∂/∂c its diagonal.  One
-    :func:`..ops.pallas_cholesky.inverse_cholesky` launch replaces XLA's
-    chain through the Cholesky VJP (two triangular solves + matmuls over
-    HBM).  Gradient precision inherits the kernel's ~1e-5 gate — ample
-    for the Adam fit this path exists for.
+    means ∂/∂B is the full matrix and ∂/∂c its diagonal.  K⁻¹ = WᵀW is
+    ONE batched HIGHEST matmul over the forward-saved W — replacing the
+    r3-first-cut refactorization (a whole inverse_cholesky launch, ~5 ms
+    of the 11 ms step at 1600×128) and XLA's cholesky + four-triangular-
+    solve chain alike.  Gradient precision inherits the kernel's ~1e-5
+    gate — ample for the Adam fit this path exists for.
     """
-    from cuda_matrix_inversion_tpu.ops.pallas_cholesky import inverse_cholesky
-    from cuda_matrix_inversion_tpu.ops.xla import add_diagonal
-
-    b, c, d = res
-    kinv = inverse_cholesky(add_diagonal(b, c))
+    w, alpha = res
     hi = jax.lax.Precision.HIGHEST
-    alpha = jnp.matmul(kinv, d, precision=hi)              # (batch, n, 1)
-    gk = 0.5 * (jnp.matmul(alpha, jnp.swapaxes(alpha, -1, -2), precision=hi)
+    kinv = jnp.matmul(jnp.swapaxes(w, -1, -2), w, precision=hi)
+    al = alpha[:, :, None]                                  # (batch, n, 1)
+    gk = 0.5 * (jnp.matmul(al, jnp.swapaxes(al, -1, -2), precision=hi)
                 - kinv)
     gm = g[:, None, None].astype(gk.dtype)
     gb = gm * gk
     gc = gm * jnp.diagonal(gk, axis1=-2, axis2=-1)[:, :, None]
-    gd = gm * (-alpha)
-    return gb.astype(b.dtype), gc.astype(c.dtype), gd.astype(d.dtype)
+    gd = gm * (-al)
+    return gb, gc, gd
 
 
 _lml_fused.defvjp(_lml_fused_fwd, _lml_fused_bwd)
@@ -349,7 +380,11 @@ def gp_log_marginal_likelihood_fused(b, c, d):
         )
 
         return gp_log_marginal_likelihood(b, c, d)
-    return _lml_fused(b, c, d)
+    # f32 in, f32 cotangents out — the custom-VJP primal is f32-only
+    # (lower-precision inputs differentiate through this cast)
+    orig = b.dtype
+    b, c, d = (jnp.asarray(x).astype(jnp.float32) for x in (b, c, d))
+    return _lml_fused(b, c, d).astype(orig)
 
 
 # ---------------------------------------------------------------------------
