@@ -108,6 +108,18 @@ def test_fused_lml_odd_n_padding(rng):
     ref = np.asarray(gp.gp_log_marginal_likelihood(
         *map(jnp.asarray, (b, c, d))))
     np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-3)
+    # the backward slices the forward-saved W/α back from the padded n —
+    # exact only because the identity padding keeps W block-diagonal;
+    # pin that with a gradient check at the unaligned n
+    import jax
+
+    for argnum in (1, 2):
+        gf = jax.grad(lambda *a: jnp.sum(gp_log_marginal_likelihood_fused(
+            *a)), argnums=argnum)(*map(jnp.asarray, (b, c, d)))
+        gx = jax.grad(lambda *a: jnp.sum(gp.gp_log_marginal_likelihood(
+            *a)), argnums=argnum)(*map(jnp.asarray, (b, c, d)))
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_fused_lml_analytic_gradients_match_xla(synth):
