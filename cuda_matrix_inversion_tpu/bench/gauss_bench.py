@@ -50,6 +50,7 @@ def run_bench(
     transfers: bool = False,
     stream=None,
     cpu_oracle: str = "auto",
+    fit: bool = False,
 ) -> BenchReporter:
     import jax
     import jax.numpy as jnp
@@ -160,7 +161,46 @@ def run_bench(
 
     if stages:
         _run_stage_split(rep, a, b, c, d, num_matrices, n, stream)
+    if fit:
+        _run_fit_rows(rep, b, c, d, num_reps)
     return rep
+
+
+def _run_fit_rows(rep, b, c, d, num_reps):
+    """Hyper-parameter-fit step rows (beyond-parity; ``--fit``).
+
+    Times one ``value_and_grad`` step of the mean-LML loss
+    (``models/gp_fit.py``) for both LML backends — ``fit_step_xla`` (the
+    expander + autodiff chain) and ``fit_step_pallas`` (fused forward +
+    analytic custom VJP).  The error column carries the total |grad
+    diff| between the two backends (the XLA chain is the oracle), so a
+    custom-VJP regression shows up exactly like an accuracy regression
+    in every other row.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_matrix_inversion_tpu.bench.timing import looped_pipeline_samples
+    from cuda_matrix_inversion_tpu.models import gp_fit
+
+    bb, cc, dd = (jnp.asarray(x) for x in (b, c, d))
+    theta = jnp.zeros((b.shape[0], 2), bb.dtype)
+    grads = {}
+    for method in ("xla", "pallas"):
+        loss = lambda t, m=method: -jnp.mean(  # noqa: E731
+            gp_fit._batch_lml(t, bb, cc, dd, method=m))
+        vg = jax.value_and_grad(loss)
+        entry = rep.entry(f"fit_step_{method}")
+        for sec in looped_pipeline_samples(vg, (theta,), iters=8,
+                                           trials=num_reps):
+            entry.timer.stats.add(max(sec, 0.0))
+            entry.timer.last_seconds = max(sec, 0.0)
+        grads[method] = np.asarray(jax.device_get(vg(theta)[1]))
+    gdiff = float(np.abs(grads["pallas"] - grads["xla"]).sum())
+    rep.entries["fit_step_xla"].total_error = 0.0
+    rep.entries["fit_step_pallas"].total_error = gdiff
+    rep.report("fit_step_xla")
+    rep.report("fit_step_pallas")
 
 
 def _run_stage_split(rep, a, b, c, d, num_matrices, n, stream):
@@ -244,6 +284,10 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--transfers", action="store_true",
                    help="time H2D+pipeline+D2H per rep (reference parity) instead of device-resident")
+    p.add_argument("--fit", action="store_true",
+                   help="also time one hyper-parameter-fit value_and_grad "
+                        "step per LML backend (fit_step_xla / "
+                        "fit_step_pallas rows; models/gp_fit.py)")
     p.add_argument("--cpu-oracle", default="auto",
                    choices=["auto", "scipy", "native"],
                    help="CPU rows: native = C++/LAPACK/OpenMP gauss_cpu.c "
@@ -281,6 +325,7 @@ def main(argv=None) -> int:
             dtype=np.dtype(args.dtype),
             transfers=args.transfers,
             cpu_oracle=args.cpu_oracle,
+            fit=args.fit,
         )
     except EnsureError as e:
         print(f"gauss_bench: {e}", file=sys.stderr)

@@ -163,6 +163,23 @@ def test_fit_method_pallas_matches_xla(synth):
     np.testing.assert_allclose(res_p.log_noise, res_x.log_noise, atol=5e-3)
 
 
+def test_gauss_bench_fit_rows(fixture_root):
+    import io
+    import os
+
+    from cuda_matrix_inversion_tpu.bench.gauss_bench import run_bench
+
+    out = io.StringIO()
+    run_bench(os.path.join(fixture_root, "gaussian_20_8x8"), 1, 1, csv=True,
+              skip_cpu=True, fit=True, stream=out)
+    lines = out.getvalue().strip().splitlines()
+    fit_rows = {l.split()[3]: l for l in lines if "fit_step" in l}
+    assert set(fit_rows) == {"fit_step_xla", "fit_step_pallas"}
+    # error column of the pallas row = total |grad diff| vs the XLA
+    # oracle, reported per matrix like every other row
+    assert float(fit_rows["fit_step_pallas"].split()[-1]) < 1e-4
+
+
 def test_theta0_warm_start(synth):
     b, c, d, _, _ = synth
     cold = gp_fit.fit_gp_scales_host(b, c, d, steps=40, lr=0.05)
