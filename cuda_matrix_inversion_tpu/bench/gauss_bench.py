@@ -172,10 +172,11 @@ def _run_fit_rows(rep, b, c, d, num_reps):
     Times one ``value_and_grad`` step of the mean-LML loss
     (``models/gp_fit.py``) for both LML backends — ``fit_step_xla`` (the
     expander + autodiff chain) and ``fit_step_pallas`` (fused forward +
-    analytic custom VJP).  The error column carries the total |grad
-    diff| between the two backends (the XLA chain is the oracle), so a
-    custom-VJP regression shows up exactly like an accuracy regression
-    in every other row.
+    analytic custom VJP).  The error column carries the |grad diff|
+    between the two backends (the XLA chain is the oracle) — reported,
+    like every row, as the per-matrix average (the reporter divides the
+    stored total by numMatrices) — so a custom-VJP regression shows up
+    exactly like an accuracy regression in every other row.
     """
     import jax
     import jax.numpy as jnp

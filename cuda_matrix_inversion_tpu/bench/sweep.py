@@ -242,18 +242,26 @@ def main(argv=None) -> int:
         print("budget exhausted, configs remain (rerun to resume)",
               file=sys.stderr)
         return 3
-    if args.out and done and os.path.getsize(args.out) == 0:
-        # A complete progress file with an empty output table means the
-        # table was truncated AFTER the rows were written (e.g. a caller's
-        # fresh-start truncation paired with a progress file from an
-        # earlier run).  Auditing/regenerating companions from the empty
-        # table would silently wipe the installed results — fail loudly
-        # instead (this happened: chip_session r3 wiped square-bench.txt).
-        print(f"sweep: {args.out} is empty but the progress file marks "
-              f"{len(done)} configs done — stale progress vs truncated "
-              "output; refusing to audit or rewrite companions. Delete "
-              "the progress file to re-sweep from scratch.", file=sys.stderr)
-        return 1
+    if args.out and done:
+        # A complete progress file whose output table covers FEWER configs
+        # than the progress marks done means the table was truncated AFTER
+        # rows were written (e.g. a caller's fresh-start truncation paired
+        # with a progress file from an earlier run).  Auditing/regenerating
+        # companions from that table would silently shrink the installed
+        # results — fail loudly instead (this happened: chip_session r3
+        # wiped square-bench.txt; the partial-truncation case is the same
+        # incident class — code-review r3).
+        configs_in_table = {
+            (p[0], p[1]) for p in
+            (ln.split() for ln in open(args.out)) if len(p) >= 6
+        }
+        if len(configs_in_table) < len(done):
+            print(f"sweep: {args.out} covers {len(configs_in_table)} "
+                  f"configs but the progress file marks {len(done)} done "
+                  "— stale progress vs truncated output; refusing to "
+                  "audit or rewrite companions. Delete the progress file "
+                  "to re-sweep from scratch.", file=sys.stderr)
+            return 1
     if args.out:
         if not args.no_audit:
             _remeasure_flagged(args.kind, args.out, args.fixture_root,

@@ -78,7 +78,8 @@ def _batch_lml(theta, b, c, d, method: str = "xla"):
 
 @partial(jax.jit, static_argnames=("steps", "lr", "method"))
 def fit_gp_scales(b, c, d, steps: int = 150, lr: float = 0.05,
-                  theta0=None, method: str = "xla") -> GPFitResult:
+                  theta0=None, method: str = "xla",
+                  weights=None) -> GPFitResult:
     """Fit (log_amp, log_noise) per system by Adam on −LML.
 
     Shapes: b — (batch, n, n) SPD; c, d — (batch, n, 1);
@@ -87,24 +88,33 @@ def fit_gp_scales(b, c, d, steps: int = 150, lr: float = 0.05,
     ``method='pallas'`` runs every step's LML forward AND gradient on the
     fused Pallas kernels (one factor launch + one inverse launch per
     step); ``'xla'`` uses the expander + autodiff chain.
+    ``weights`` — optional (batch,) loss weights; systems with weight 0
+    (e.g. the sharded wrapper's inert mesh padding) get exactly zero
+    gradient, so their θ stays at the init and their LML stays finite,
+    and they drop out of ``lml_path`` (the weighted-mean trace).
 
-    The loss is ``−mean(LML)``; because systems share no parameters the
-    per-system gradients are exact regardless of the reduction.  The
-    optimizer loop is a ``lax.scan`` — compiler-visible, unrolled into a
-    single XLA while op, nothing data-dependent on the host.
+    The loss is the weighted mean of −LML; because systems share no
+    parameters the per-system gradients are exact regardless of the
+    reduction.  The optimizer loop is a ``lax.scan`` — compiler-visible,
+    unrolled into a single XLA while op, nothing data-dependent on the
+    host.
     """
     batch = b.shape[0]
     theta = (jnp.zeros((batch, 2), dtype=b.dtype) if theta0 is None
              else jnp.asarray(theta0, dtype=b.dtype))
+    w = (jnp.ones((batch,), b.dtype) if weights is None
+         else jnp.asarray(weights, dtype=b.dtype))
+    wsum = jnp.maximum(jnp.sum(w), jnp.ones((), b.dtype))
     opt = optax.adam(lr)
-    loss_fn = lambda t: -jnp.mean(_batch_lml(t, b, c, d, method=method))
+    loss_fn = lambda t: -(jnp.sum(w * _batch_lml(t, b, c, d, method=method))
+                          / wsum)
 
     def step(carry, _):
         t, opt_state = carry
         loss, grad = jax.value_and_grad(loss_fn)(t)
         updates, opt_state = opt.update(grad, opt_state, t)
         t = optax.apply_updates(t, updates)
-        return (t, opt_state), -loss  # batch-mean LML this step
+        return (t, opt_state), -loss  # weighted-mean LML this step
 
     (theta, _), lml_path = jax.lax.scan(
         step, (theta, opt.init(theta)), None, length=steps)
@@ -114,8 +124,10 @@ def fit_gp_scales(b, c, d, steps: int = 150, lr: float = 0.05,
 
 
 def fit_gp_scales_host(b, c, d, steps: int = 150, lr: float = 0.05,
-                       theta0=None, method: str = "xla") -> GPFitResult:
+                       theta0=None, method: str = "xla",
+                       weights=None) -> GPFitResult:
     """NumPy-in/NumPy-out flavor (analog of the ``*_gpu`` host wrappers)."""
     res = fit_gp_scales(*(jnp.asarray(x) for x in (b, c, d)),
-                        steps=steps, lr=lr, theta0=theta0, method=method)
+                        steps=steps, lr=lr, theta0=theta0, method=method,
+                        weights=weights)
     return GPFitResult(*(np.asarray(jax.device_get(x)) for x in res))

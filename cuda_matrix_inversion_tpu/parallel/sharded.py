@@ -41,18 +41,43 @@ def _shard(mesh, x):
     return jax.device_put(x, batch_sharding(mesh, jnp.ndim(x)))
 
 
-def _pad_to_mesh(mesh, a):
-    """Pad the batch axis with identity matrices so it divides the mesh
-    (shard_map needs even shards); returns (padded, original_size)."""
+def _pad_batch_to_mesh(mesh, arrays, fills):
+    """Pad every array's batch axis with inert entries so it divides the
+    mesh (shard_map needs even shards); returns (padded_tuple, orig_size).
+
+    ``fills[i]`` is a callable ``(pad, array) -> pad_block`` choosing the
+    inert content per operand (identity matrices, zero/one vectors, ...).
+    The single home for the size/remainder edge cases that were once
+    copy-pasted per entry point (code-review r3).
+    """
     size = int(mesh.devices.size)
-    batch = a.shape[0]
+    arrays = tuple(jnp.asarray(a) for a in arrays)
+    batch = arrays[0].shape[0]
     rem = batch % size
     if rem == 0 and batch > 0:
-        return a, batch
+        return arrays, batch
     pad = size - rem if batch > 0 else size
+    return tuple(jnp.concatenate([a, fill(pad, a)], axis=0)
+                 for a, fill in zip(arrays, fills)), batch
+
+
+def _fill_eye(pad, a):
     n = a.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
-    return jnp.concatenate([jnp.asarray(a), eye], axis=0), batch
+    return jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
+
+
+def _fill_zeros(pad, a):
+    return jnp.zeros((pad,) + a.shape[1:], a.dtype)
+
+
+def _fill_ones(pad, a):
+    return jnp.ones((pad,) + a.shape[1:], a.dtype)
+
+
+def _pad_to_mesh(mesh, a):
+    """Pad the batch axis with identity matrices so it divides the mesh."""
+    (padded,), batch = _pad_batch_to_mesh(mesh, (a,), (_fill_eye,))
+    return padded, batch
 
 
 @partial(jax.jit, static_argnames=("algorithm",))
@@ -153,23 +178,9 @@ def _gp_shard_mapped(mesh, method: str):
 def _pad_gp_to_mesh(mesh, a, b, c, d, e):
     """Pad GP operands with inert problems (identity B, zero vectors) so
     the batch divides the mesh."""
-    size = int(mesh.devices.size)
-    batch = b.shape[0]
-    rem = batch % size
-    if rem == 0 and batch > 0:
-        return (a, b, c, d, e), batch
-    pad = size - rem if batch > 0 else size
-    n = b.shape[-1]
-    a, b, c, d, e = (jnp.asarray(x) for x in (a, b, c, d, e))
-    zcol = jnp.zeros((pad, n, 1), a.dtype)
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=b.dtype), (pad, n, n))
-    return (
-        jnp.concatenate([a, zcol], axis=0),
-        jnp.concatenate([b, eye], axis=0),
-        jnp.concatenate([c, zcol], axis=0),
-        jnp.concatenate([d, zcol], axis=0),
-        jnp.concatenate([e, jnp.zeros((pad, 1, 1), e.dtype)], axis=0),
-    ), batch
+    return _pad_batch_to_mesh(
+        mesh, (a, b, c, d, e),
+        (_fill_zeros, _fill_eye, _fill_zeros, _fill_zeros, _fill_zeros))
 
 
 def sharded_gp_shard_map(mesh, a, b, c, d, e, method: str = "solve"):
@@ -204,39 +215,25 @@ def _fit_shard_mapped(mesh, steps: int, lr: float, method: str):
     spec3 = P(BATCH_AXIS, None, None)
     spec1 = P(BATCH_AXIS)
 
-    def run(b, c, d):
-        # per-shard loss = mean over the LOCAL shard.  Per-system
+    def run(b, c, d, w):
+        # per-shard loss = weighted mean over the LOCAL shard.  Per-system
         # gradients are independent and Adam's m̂/√v̂ normalization
         # cancels the 1/batch scale (up to its eps term), so each
-        # system's trajectory matches the global fit; lml_path is
-        # pmean'd into the global per-step trace.
-        res = fit_gp_scales(b, c, d, steps=steps, lr=lr, method=method)
-        return (res.log_amp, res.log_noise, res.lml,
-                jax.lax.pmean(res.lml_path, BATCH_AXIS))
+        # system's trajectory matches the global fit.  The global trace
+        # is the weight-combined per-shard trace: inert mesh padding
+        # (weight 0) drops out entirely — its untrained θ never pollutes
+        # lml_path (code-review r3: an unweighted pmean diverged and
+        # eventually NaN'd as Adam drove the padded systems' θ to −∞).
+        res = fit_gp_scales(b, c, d, steps=steps, lr=lr, method=method,
+                            weights=w)
+        lw = jnp.sum(w)
+        num = jax.lax.psum(res.lml_path * lw, BATCH_AXIS)
+        den = jax.lax.psum(lw, BATCH_AXIS)
+        return res.log_amp, res.log_noise, res.lml, num / den
 
     return jax.jit(jax.shard_map(
-        run, mesh=mesh, in_specs=(spec3, spec3, spec3),
+        run, mesh=mesh, in_specs=(spec3, spec3, spec3, spec1),
         out_specs=(spec1, spec1, spec1, P()), check_vma=False))
-
-
-def _pad_fit_to_mesh(mesh, b, c, d):
-    """Inert fit padding: identity B, unit noise diag, zero observations.
-    The padded systems still carry (their own, discarded) θ parameters —
-    there is no θ-independent system — but they touch nothing else."""
-    size = int(mesh.devices.size)
-    batch = b.shape[0]
-    rem = batch % size
-    b, c, d = (jnp.asarray(x) for x in (b, c, d))
-    if rem == 0 and batch > 0:
-        return (b, c, d), batch
-    pad = size - rem if batch > 0 else size
-    n = b.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=b.dtype), (pad, n, n))
-    return (
-        jnp.concatenate([b, eye], axis=0),
-        jnp.concatenate([c, jnp.ones((pad, n, 1), c.dtype)], axis=0),
-        jnp.concatenate([d, jnp.zeros((pad, n, 1), d.dtype)], axis=0),
-    ), batch
 
 
 def sharded_fit_gp_scales(mesh, b, c, d, steps: int = 150, lr: float = 0.05,
@@ -246,9 +243,9 @@ def sharded_fit_gp_scales(mesh, b, c, d, steps: int = 150, lr: float = 0.05,
     ``method='pallas'`` (the fused-LML loop) routes through shard_map —
     its forward/backward are Mosaic custom calls GSPMD cannot split —
     with each shard running the whole Adam scan on its local systems (no
-    cross-shard collectives: parameters are per-system).  XLA methods
-    shard via the partitioner.  Returns a ``GPFitResult`` with sharded
-    per-system leaves and a replicated global ``lml_path``.
+    cross-shard collectives beyond combining the convergence trace).
+    XLA methods shard via the partitioner.  Returns a ``GPFitResult``
+    with sharded per-system leaves and a replicated global ``lml_path``.
     """
     from cuda_matrix_inversion_tpu.models.gp_fit import (
         GPFitResult,
@@ -258,9 +255,14 @@ def sharded_fit_gp_scales(mesh, b, c, d, steps: int = 150, lr: float = 0.05,
     if method != "pallas":
         args = [_shard(mesh, jnp.asarray(x)) for x in (b, c, d)]
         return fit_gp_scales(*args, steps=steps, lr=lr, method=method)
-    (b, c, d), batch = _pad_fit_to_mesh(mesh, b, c, d)
+    # inert fit padding: identity B, unit noise diag, zero observations,
+    # weight 0 (frozen θ, excluded from the loss and the trace)
+    w = jnp.ones((jnp.asarray(b).shape[0],), jnp.asarray(b).dtype)
+    (b, c, d, w), batch = _pad_batch_to_mesh(
+        mesh, (b, c, d, w), (_fill_eye, _fill_ones, _fill_zeros,
+                             _fill_zeros))
     la, ln, lml, path = _fit_shard_mapped(mesh, steps, lr, method)(
-        _shard(mesh, b), _shard(mesh, c), _shard(mesh, d))
+        _shard(mesh, b), _shard(mesh, c), _shard(mesh, d), _shard(mesh, w))
     if la.shape[0] != batch:
         la, ln, lml = la[:batch], ln[:batch], lml[:batch]
     return GPFitResult(log_amp=la, log_noise=ln, lml=lml, lml_path=path)

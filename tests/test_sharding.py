@@ -115,6 +115,12 @@ def test_sharded_gp_fit_pallas_shard_map(mesh, rng):
                                np.asarray(ref.log_noise), atol=2e-3)
     np.testing.assert_allclose(np.asarray(res.lml), np.asarray(ref.lml),
                                rtol=1e-3, atol=1e-2)
+    # the global trace must EXCLUDE the 4 inert padded systems (weight 0,
+    # frozen θ): an unweighted pmean diverged toward +inf and eventually
+    # NaN'd as Adam drove the padded systems' θ to −∞ (code-review r3)
+    np.testing.assert_allclose(np.asarray(res.lml_path),
+                               np.asarray(ref.lml_path), rtol=1e-3,
+                               atol=1e-2)
 
 
 def test_pad_to_multiple(rng):
