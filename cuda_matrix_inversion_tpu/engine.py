@@ -272,10 +272,14 @@ class GPEngine(_BucketedEngine):
     ``InversionEngine.inverse_warm``.
     """
 
-    def __init__(self, method: str = "solve", **kw):
+    def __init__(self, method: str = "solve", fit_method: str = "auto", **kw):
         super().__init__(**kw)
         self.method = method
+        # fused custom-VJP fit loop where it applies (f32); XLA otherwise
+        self.fit_method = (("pallas" if np.dtype(self.dtype) == np.float32
+                            else "xla") if fit_method == "auto" else fit_method)
         self._compiled_gp_warm: Dict[Tuple[int, int], object] = {}
+        self._compiled_fit: Dict[Tuple[int, int, int, float], object] = {}
 
     def _lower(self, batch_b: int, dim_b: int):
         import jax
@@ -313,6 +317,74 @@ class GPEngine(_BucketedEngine):
         mean, var = exe(*(jax.device_put(x) for x in (ap, bp, cp, dp, ep)))
         return (np.asarray(jax.device_get(mean))[:batch],
                 np.asarray(jax.device_get(var))[:batch])
+
+    # -- hyper-parameter fitting --------------------------------------------
+    def fit(self, b, c, d, steps: int = 150, lr: float = 0.05):
+        """Batch-bucketed hyper-parameter fit (``models/gp_fit.py``) —
+        learn per-system (log amp, log noise) through the engine's
+        pre-compiled executable machinery.
+
+        Only the BATCH axis is bucketed: padded systems carry loss
+        weight 0, so their frozen θ never touches the loss or the
+        convergence trace.  The dim axis is served at its exact size —
+        pre-scaling dim padding is NOT exact for the fit (an identity
+        block appended to B is multiplied by e^{2θ_amp}, making the pad
+        block's log-determinant θ-dependent and biasing the amplitude
+        gradient by −pad); the LML kernels' internal tile padding
+        happens after scaling, which is exact.  Returns a
+        ``GPFitResult`` of host arrays sliced to the real batch.
+        """
+        import jax
+
+        from cuda_matrix_inversion_tpu.models.gp_fit import GPFitResult
+
+        dt = np.dtype(self.dtype)
+        b, c, d = (np.ascontiguousarray(np.asarray(x, dtype=dt))
+                   for x in (b, c, d))
+        batch, n = b.shape[0], b.shape[-1]
+        if batch == 0:
+            z = np.zeros((0,), dt)
+            return GPFitResult(z, z.copy(), z.copy(),
+                               np.zeros((steps,), dt))
+        batch_b = _round_up(batch, self.batch_buckets)
+        bp = np.zeros((batch_b, n, n), dt)
+        bp[:batch] = b
+        bp[batch:] = np.eye(n, dtype=dt)
+        cp = np.zeros((batch_b, n, 1), dt)
+        cp[:batch] = c.reshape(batch, n, 1)
+        dp = np.zeros((batch_b, n, 1), dt)
+        dp[:batch] = d.reshape(batch, n, 1)
+        w = np.zeros((batch_b,), dt)
+        w[:batch] = 1.0
+
+        key = (batch_b, n, steps, lr)
+        with self._lock:
+            exe = self._compiled_fit.get(key)
+        if exe is None:
+            exe = self._lower_fit(batch_b, n, steps, lr)
+            with self._lock:
+                self._compiled_fit[key] = exe
+        res = exe(*(jax.device_put(x) for x in (bp, cp, dp, w)))
+        return GPFitResult(
+            np.asarray(jax.device_get(res.log_amp))[:batch],
+            np.asarray(jax.device_get(res.log_noise))[:batch],
+            np.asarray(jax.device_get(res.lml))[:batch],
+            np.asarray(jax.device_get(res.lml_path)),
+        )
+
+    def _lower_fit(self, batch_b: int, dim_b: int, steps: int, lr: float):
+        import jax
+
+        from cuda_matrix_inversion_tpu.models.gp_fit import fit_gp_scales
+
+        dt = np.dtype(self.dtype)
+        vec = jax.ShapeDtypeStruct((batch_b, dim_b, 1), dt)
+        mat = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), dt)
+        wshape = jax.ShapeDtypeStruct((batch_b,), dt)
+        fn = lambda b_, c_, d_, w_: fit_gp_scales(  # noqa: E731
+            b_, c_, d_, steps=steps, lr=lr, method=self.fit_method,
+            weights=w_)
+        return jax.jit(fn).lower(mat, vec, vec, wshape).compile()
 
     # -- warm serving --------------------------------------------------------
     def _lower_gp_warm(self, batch_b: int, dim_b: int):

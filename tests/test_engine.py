@@ -257,3 +257,40 @@ def test_gp_engine_warm(rng):
     # empty batch round-trips
     z = eng.mean_variance_warm(a[:0], b3[:0], c[:0], d[:0], e[:0], kinv[:0])
     assert z[0].shape == (0, 1, 1) and z[2].shape == (0, n, n)
+
+
+def test_gp_engine_fit(rng):
+    # batch-bucketed fit: 10 systems pad to the 16-bucket with weight-0
+    # systems, which must leave the real systems' trajectories and the
+    # convergence trace identical to the direct (unbucketed) fit.  Dim
+    # stays exact — pre-scaling dim padding would bias the amplitude
+    # gradient (the identity pad block would get scaled by e^{2 theta}).
+    import jax.numpy as jnp
+
+    from cuda_matrix_inversion_tpu.engine import GPEngine
+    from cuda_matrix_inversion_tpu.models import gp_fit
+
+    batch, n, rank = 10, 16, 4
+    w = rng.standard_normal((batch, n, rank))
+    b = (w @ np.transpose(w, (0, 2, 1)) + 0.05 * np.eye(n)).astype(np.float32)
+    c = (rng.random((batch, n, 1)) + 0.5).astype(np.float32)
+    d = rng.standard_normal((batch, n, 1)).astype(np.float32)
+
+    eng = GPEngine()
+    res = eng.fit(b, c, d, steps=30)
+    assert res.log_amp.shape == (batch,)
+    ref = gp_fit.fit_gp_scales_host(b, c, d, steps=30,
+                                    method=eng.fit_method)
+    np.testing.assert_allclose(res.log_amp, ref.log_amp, atol=1e-4)
+    np.testing.assert_allclose(res.log_noise, ref.log_noise, atol=1e-4)
+    np.testing.assert_allclose(res.lml, ref.lml, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(res.lml_path, ref.lml_path, rtol=1e-4,
+                               atol=1e-3)
+    # the compiled executable is cached per (batch bucket, n, steps, lr)
+    assert len(eng._compiled_fit) == 1
+    eng.fit(b[:8], c[:8], d[:8], steps=30)
+    assert len(eng._compiled_fit) == 2  # 8-bucket is a new key
+
+    # empty batch round-trips
+    z = eng.fit(b[:0], c[:0], d[:0], steps=5)
+    assert z.log_amp.shape == (0,) and z.lml_path.shape == (5,)
