@@ -42,6 +42,7 @@ def is_pallas_algorithm(name: str) -> bool:
 
 def _populate() -> None:
     if _DEVICE_ALGORITHMS:
+        _populate_native()
         return
     from cuda_matrix_inversion_tpu.ops import cpu_reference, xla
 
@@ -101,7 +102,17 @@ def _populate() -> None:
     register_inverse("cholesky_cpu", cpu_reference.inverse_cholesky, cpu=True)
     register_inverse("gauss_cpu", cpu_reference.inverse_gauss_jordan, cpu=True)
 
-    # native C++ LAPACK+OpenMP oracle (the true inverse.c equivalent)
+    _populate_native()
+
+
+def _populate_native() -> None:
+    # native C++ LAPACK+OpenMP oracle (the true inverse.c equivalent).
+    # Retried on every _populate(): the gitignored .so can be stale at
+    # first import (a fresh checkout stamps the sources newer) and get
+    # rebuilt later in the same process via native.build.ensure_built —
+    # oracle.available() is a cheap stat until the load succeeds.
+    if "lu_native_cpu" in _CPU_ALGORITHMS:
+        return
     try:
         from cuda_matrix_inversion_tpu.native import oracle
 

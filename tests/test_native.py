@@ -90,6 +90,32 @@ def test_native_oracle_registered():
     assert "lu_native_cpu" in algs and "cholesky_native_cpu" in algs
 
 
+def test_native_registration_retries_after_late_build(monkeypatch):
+    """The registry must pick up the native oracle even when the .so was
+    stale at the FIRST _populate() and only built later in the process
+    (the full-suite ordering: a fresh checkout stamps sources newer than
+    the gitignored .so, earlier tests populate the registry without the
+    native rows, then this module's fixture rebuilds the lib)."""
+    from cuda_matrix_inversion_tpu.native import oracle
+    from cuda_matrix_inversion_tpu.ops import registry
+
+    saved_cpu = dict(registry._CPU_ALGORITHMS)
+    try:
+        # simulate "stale at first populate": drop the rows and make the
+        # oracle unavailable, then re-populate
+        registry._CPU_ALGORITHMS.pop("lu_native_cpu", None)
+        registry._CPU_ALGORITHMS.pop("cholesky_native_cpu", None)
+        monkeypatch.setattr(oracle, "available", lambda: False)
+        assert "lu_native_cpu" not in registry.list_inverse_algorithms(cpu=True)
+        # the lib "gets built": the next registry query must register it
+        monkeypatch.setattr(oracle, "available", lambda: True)
+        assert "lu_native_cpu" in registry.list_inverse_algorithms(cpu=True)
+        assert "cholesky_native_cpu" in registry.list_inverse_algorithms(cpu=True)
+    finally:
+        registry._CPU_ALGORITHMS.clear()
+        registry._CPU_ALGORITHMS.update(saved_cpu)
+
+
 def test_native_oracle_does_not_mutate_input(rng):
     from cuda_matrix_inversion_tpu.native import oracle
 
