@@ -77,6 +77,33 @@ def ns_pan_nonsym_kappa100():
     return _check(_gate_err(a, np.asarray(inverse_newton_schulz_pallas(a))))
 
 
+def ns_pan500_kappa500_edge():
+    """r3 split3 domain claim: κ ≲ 500 general (nonsymmetric) matrices
+    under the 3-pass error-split contraction (emulation predicted
+    1.5e-5; measured 2.8e-5 on chip at first validation)."""
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    rng = np.random.default_rng(31)
+    n = 128
+    q1, _ = np.linalg.qr(rng.standard_normal((8, n, n)))
+    q2, _ = np.linalg.qr(rng.standard_normal((8, n, n)))
+    s = np.geomspace(1.0 / 500.0, 1.0, n)
+    a = ((q1 * s[None, None, :]) @ q2).astype(np.float32)
+    fn = get_inverse_algorithm("newton_schulz_pan500_pallas")
+    return _check(_gate_err(a, np.asarray(fn(a))))
+
+
+def ns_pan500_near_identity():
+    """split3 noise-floor clamp: the recentering schedule squashes a
+    spectrum-at-top input to ~4·floor each early round — must not flip
+    negative under split3 round noise (measured 3.2e-8 on chip)."""
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    a = (np.eye(128)[None].repeat(4, axis=0) * 3.7).astype(np.float32)
+    fn = get_inverse_algorithm("newton_schulz_pan500_pallas")
+    return _check(_gate_err(a, np.asarray(fn(a))))
+
+
 def ns_spd_kappa30_edge():
     """README NS-spd domain claim (measured 1.8e-5 at κ=30 on chip r2)."""
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
@@ -230,6 +257,8 @@ CHECKS = [
     ("ns_spd_kappa30_edge", ns_spd_kappa30_edge),
     ("ns_pan_kappa30_edge", ns_pan_kappa30_edge),
     ("ns_pan_nonsym_kappa100", ns_pan_nonsym_kappa100),
+    ("ns_pan500_kappa500_edge", ns_pan500_kappa500_edge),
+    ("ns_pan500_near_identity", ns_pan500_near_identity),
     ("ns_near_identity", ns_near_identity),
     ("warm_start_delta_edge", warm_start_delta_edge),
     ("pivoting_kernels_gate_100x128", pivoting_kernels_gate_100x128),

@@ -61,9 +61,12 @@ DEFAULT_ALGORITHMS = (
     "newton_schulz_spd10_pallas",
 )
 
-# Roster for the general-square (non-SPD) fixture family: only the
+# Roster for the general-square (non-SPD) fixture family: the
 # pivoting-capable paths — the Cholesky/Newton-Schulz-SPD rows require
-# (caller-asserted) SPD input and would just fail the gate on purpose.
+# (caller-asserted) SPD input and would just fail the gate on purpose —
+# plus the κ ≲ 500 split-precision Newton-Schulz lane, which handles any
+# nonsingular matrix in this fixture class (κ capped at 4·dim) without
+# factorization.
 GENERAL_ALGORITHMS = (
     "lu_cpu",
     "gauss_cpu",
@@ -71,6 +74,7 @@ GENERAL_ALGORITHMS = (
     "lu",
     "gauss_pallas",
     "lu_pallas",
+    "newton_schulz_pan500_pallas",
 )
 
 # The ONLY rows that may be skipped silently when unregistered: the

@@ -46,6 +46,27 @@ _LO = jax.lax.Precision.DEFAULT
 SPD_SCHEDULE = (6, 2)
 PAN_SCHEDULE = (12, 2)
 
+# The high-κ general-matrix schedule (precision="split3"): every product
+# runs as the 3-pass bf16 error-split (~2⁻¹⁷ relative, vs 2⁻⁹ one-pass
+# bf16 and 2⁻²⁴ at 6-pass HIGHEST), which moves the contraction floor
+# from 2⁻⁹·κ to 2⁻¹⁷·κ — the κ ≲ 30 bf16 domain becomes κ ≲ 500 at half
+# the HIGHEST MXU cost.  Calibrated by faithful-bf16 emulation (operands
+# rounded through ml_dtypes.bfloat16, fp32 accumulate — reproduces chip
+# residuals to ~3%, r2): lo=14 is the edge (lo=12 fails at 0.66 — the
+# recentering schedule squashes EVERY input to the tracked interval, so
+# convergence is schedule-global), hi=2 needed (hi=1 → 8e-4); measured
+# gate 1.5e-5 at κ=500 nonsymmetric geomspace, 3.1e-5 at κ=1000, 2.2e-7
+# near identity, n=128.  MU_MIN_PAN500: the square_5 fixture class
+# (κ-capped 4·dim Ginibre) measures µ = σmin²/(‖A‖₁‖A‖∞) ≥ 1.5e-7 at
+# n=128 — 3e-8 keeps 5× margin.
+PAN500_SCHEDULE = (14, 2)
+MU_MIN_PAN500 = 3e-8
+# split3 round noise is ~2⁻¹⁷ ≈ 7.6e-6 (vs 2⁻⁹ one-pass): the squashed
+# bottom edge 4·floor/(1+floor)² ≈ 8e-4 keeps a 100× noise margin while
+# letting the recentering scalars stay near 2 longer than the bf16
+# clamp (5e-3) would allow.
+SPLIT3_NOISE_FLOOR = 2e-4
+
 
 def _residual_inf(eye, ax):
     """‖I − AX‖∞ max over the batch (one pass over the already-computed AX)."""
@@ -168,7 +189,8 @@ def inverse_newton_schulz(
 
 def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref,
                     mid_split: bool = False, polish_highest: bool = True,
-                    mu_min: float | None = None):
+                    mu_min: float | None = None, split3: bool = False,
+                    noise_floor: float | None = None):
     """Newton-Schulz iteration with A, X, tmp resident in VMEM refs.
 
     Shared body for the standalone inversion kernel
@@ -215,10 +237,14 @@ def ns_vmem_iterate(lo_iters, hi_iters, init, a_ref, x_ref, tmp_ref,
             x_ref[b, :, :] = a_ref[b, :, :].T * scale[b]
 
     if mu_min is None:
-        mu_min = MU_MIN_SPD if init == "spd" else MU_MIN_PAN
-    scales = scaled_round_coeffs(mu_min, lo_iters)
+        mu_min = (MU_MIN_PAN500 if split3
+                  else MU_MIN_SPD if init == "spd" else MU_MIN_PAN)
+    if noise_floor is None:
+        noise_floor = SPLIT3_NOISE_FLOOR if split3 else 5e-3
+    scales = scaled_round_coeffs(mu_min, lo_iters, noise_floor=noise_floor)
     ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=scales,
-                   mid_split=mid_split, polish_highest=polish_highest)
+                   mid_split=mid_split, polish_highest=polish_highest,
+                   split3=split3)
 
 
 # Assumed lower edge of spec(A·X_start) for the scaled-round schedules,
@@ -268,7 +294,8 @@ def scaled_round_coeffs(mu_min: float, rounds: int,
 
 
 def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=None,
-                   mid_split: bool = False, polish_highest: bool = True):
+                   mid_split: bool = False, polish_highest: bool = True,
+                   split3: bool = False):
     """The iteration rounds of :func:`ns_vmem_iterate`, starting from
     whatever ``x_ref`` already holds (used directly by the warm-start
     kernel, where X is seeded from a previous batch's inverse — warm
@@ -289,6 +316,22 @@ def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=None,
             x, y, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
+    def dot3(x, y):
+        """3-pass bf16 error-split product, ~2⁻¹⁷ relative at half the
+        6-pass HIGHEST cost (Mosaic doesn't lower Precision.HIGH, so it
+        is spelled manually).  Gated on COMPILED TPU execution exactly
+        like ``mid_split``: interpret/CPU DEFAULT is already full fp32,
+        and the correction terms would double-count there."""
+        if not mid_split:
+            return dot(x, y, lo)
+        x_lo_part = x - x.astype(jnp.bfloat16).astype(jnp.float32)
+        y_lo_part = y - y.astype(jnp.bfloat16).astype(jnp.float32)
+        return (dot(x, y, lo)           # = X_hi · Y_hi
+                + dot(x_lo_part, y, lo)
+                + dot(x, y_lo_part, lo))
+
+    contract = dot3 if split3 else (lambda x, y: dot(x, y, lo))
+
     for i in range(lo_iters):
         c = 1.0 if scales is None or i >= len(scales) else float(scales[i])
         # X' = cX(2I − cAX) = X·(2c·I − c²·AX): the scaling folds into
@@ -296,10 +339,25 @@ def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=None,
         eye2c = (2.0 * c) * eye
         c2 = c * c
         for b in range(bm):
-            tmp_ref[b, :, :] = eye2c - c2 * dot(a_ref[b, :, :],
-                                                x_ref[b, :, :], lo)
+            tmp_ref[b, :, :] = eye2c - c2 * contract(a_ref[b, :, :],
+                                                     x_ref[b, :, :])
         for b in range(bm):
-            x_ref[b, :, :] = dot(x_ref[b, :, :], tmp_ref[b, :, :], lo)
+            x_ref[b, :, :] = contract(x_ref[b, :, :], tmp_ref[b, :, :])
+    if split3:
+        # High-κ polish: one-pass bf16 X·R carries a 2⁻⁹·κ·‖R‖ term that
+        # STALLS at κ ≈ 500 (it equals ‖R‖), and even the 3-pass residual
+        # probe's 2⁻¹⁷·κ error is the same size as the arriving residual —
+        # so every hi round computes R at full HIGHEST and applies the
+        # update through the split (2⁻¹⁷·κ·r ≈ 3.9e-3·r at κ=500, far
+        # below the r² contraction target).
+        for i in range(hi_iters):
+            for b in range(bm):
+                tmp_ref[b, :, :] = eye - dot(a_ref[b, :, :], x_ref[b, :, :],
+                                             hi)
+            for b in range(bm):
+                x_ref[b, :, :] = (x_ref[b, :, :]
+                                  + dot3(x_ref[b, :, :], tmp_ref[b, :, :]))
+        return
     for i in range(hi_iters):
         # Polish precision ladder: only the LAST round needs the full
         # 6-pass HIGHEST residual — earlier rounds only have to beat the
@@ -323,14 +381,7 @@ def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=None,
                 tmp_ref[b, :, :] = eye - dot(a_ref[b, :, :], x_ref[b, :, :],
                                              hi)
             else:
-                a_b = a_ref[b, :, :]
-                x_b = x_ref[b, :, :]
-                a_lo_part = a_b - a_b.astype(jnp.bfloat16).astype(jnp.float32)
-                x_lo_part = x_b - x_b.astype(jnp.bfloat16).astype(jnp.float32)
-                prod = (dot(a_b, x_b, lo)          # = A_hi · X_hi
-                        + dot(a_lo_part, x_b, lo)  # + A_lo · X_hi(+ε)
-                        + dot(a_b, x_lo_part, lo))  # + A_hi(+ε) · X_lo
-                tmp_ref[b, :, :] = eye - prod
+                tmp_ref[b, :, :] = eye - dot3(a_ref[b, :, :], x_ref[b, :, :])
         for b in range(bm):
             x_ref[b, :, :] = (x_ref[b, :, :]
                               + dot(x_ref[b, :, :], tmp_ref[b, :, :], lo))
@@ -346,7 +397,8 @@ def _ns_warm_kernel(lo_iters, hi_iters, mid_split, a_ref, x0_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
                                              "interpret", "init",
-                                             "polish_highest", "mu_min"))
+                                             "polish_highest", "mu_min",
+                                             "precision"))
 def inverse_newton_schulz_pallas(
     a: jnp.ndarray,
     lo_iters: int | None = None,
@@ -356,6 +408,7 @@ def inverse_newton_schulz_pallas(
     init: str = "pan",
     polish_highest: bool = True,
     mu_min: float | None = None,
+    precision: str = "bf16",
 ) -> jnp.ndarray:
     """VMEM-resident fixed-iteration Newton-Schulz (one Pallas launch).
 
@@ -377,6 +430,16 @@ def inverse_newton_schulz_pallas(
       1.8e-5 at κ=30 on chip; lo=5 already passes at 2.9e-5), because
       the SPD start X₀ = I/‖A‖∞ contracts at 1 − 1/κ instead of 1 − 1/κ²
       and its first round fuses into elementwise setup.
+    * ``precision="split3"`` (r3, registered ``newton_schulz_pan500_pallas``;
+      pan init only), lo=14 hi=2: κ(A) ≲ 500 for ANY nonsingular matrix —
+      every product runs the 3-pass bf16 error-split (~2⁻¹⁷ relative at
+      half the 6-pass HIGHEST cost), moving the contraction floor from
+      2⁻⁹·κ to 2⁻¹⁷·κ.  Faithful-bf16 emulation: 1.5e-5 at κ=500
+      nonsymmetric, 3.1e-5 at κ=1000 (the fp32 polish floor κ·2⁻²⁴ is
+      the binding edge past ~500).  This is the fast lane for the
+      general-square fixture class (κ-capped 4·dim, ref
+      ``tests/square_5_*.mats``) where the bf16 pan lane is out of
+      domain and the pivoting kernels cost 2.5× more MXU passes.
 
     Beyond that the bf16 floor (≈ eps_bf16·κ) exceeds what the fp32
     polish can recover; use :func:`inverse_newton_schulz` (adaptive) or
@@ -395,7 +458,18 @@ def inverse_newton_schulz_pallas(
 
     if init not in ("pan", "spd"):
         raise ValueError(f"init must be 'pan' or 'spd', got {init!r}")
-    schedule = SPD_SCHEDULE if init == "spd" else PAN_SCHEDULE
+    if precision not in ("bf16", "split3"):
+        raise ValueError(
+            f"precision must be 'bf16' or 'split3', got {precision!r}")
+    split3 = precision == "split3"
+    if split3 and init != "pan":
+        # the split3 schedule is calibrated on the Pan start's µ = 1/κ²
+        # interval evolution; an SPD-start split3 lane would need its own
+        # mu_min/round calibration and has no workload yet (SPD κ > 30 is
+        # served by cholesky_pallas / the Schur recursion)
+        raise ValueError("precision='split3' supports init='pan' only")
+    schedule = (PAN500_SCHEDULE if split3
+                else SPD_SCHEDULE if init == "spd" else PAN_SCHEDULE)
     if lo_iters is None:
         lo_iters = schedule[0]
     if hi_iters is None:
@@ -447,7 +521,8 @@ def inverse_newton_schulz_pallas(
     out = pl.pallas_call(
         functools.partial(ns_vmem_iterate, lo_iters, hi_iters, init,
                           mid_split=not run_interpret,
-                          polish_highest=polish_highest, mu_min=mu_min),
+                          polish_highest=polish_highest, mu_min=mu_min,
+                          split3=split3),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],

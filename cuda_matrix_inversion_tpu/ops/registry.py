@@ -76,6 +76,15 @@ def _populate() -> None:
                                        init="spd", lo_iters=4, hi_iters=2,
                                        mu_min=0.03),
                      pallas=True)
+    # κ ≲ 500 GENERAL-matrix lane (r3): every product is the 3-pass bf16
+    # error-split (~2⁻¹⁷ relative), extending the pan domain past the
+    # square_5 fixture class (κ ≤ 4·dim) at ~half the HIGHEST MXU cost —
+    # the matmul-only alternative to the pivoting kernels for
+    # moderately-conditioned nonsymmetric batches.
+    register_inverse("newton_schulz_pan500_pallas",
+                     functools.partial(newton_schulz.inverse_newton_schulz_pallas,
+                                       precision="split3"),
+                     pallas=True)
     try:
         from cuda_matrix_inversion_tpu.ops import pallas_gauss_jordan
 

@@ -231,6 +231,124 @@ def test_newton_schulz_domain_edge_on_tpu(rng):
     assert _identity_err_inf(ident, inv) < 1e-4
 
 
+def _nonsym_cond(batch, n, kappa, rng):
+    """Nonsymmetric batch with exact 2-norm condition number ``kappa``."""
+    q1, _ = np.linalg.qr(rng.standard_normal((batch, n, n)))
+    q2, _ = np.linalg.qr(rng.standard_normal((batch, n, n)))
+    s = np.geomspace(1.0 / kappa, 1.0, n)
+    return ((q1 * s[None, None, :]) @ q2).astype(np.float32)
+
+
+def test_ns_pan500_split3_gate(rng):
+    """The κ ≲ 500 split-precision lane: interpret mode runs the dots at
+    full fp32 (the split corrections are gated off, like mid_split), so
+    this validates the SCHEDULE — the recentering interval evolution from
+    mu_min=3e-8 squashes every input to the tracked interval, and a
+    too-short schedule fails for ALL inputs (lo=12 → 0.66), making the
+    convergence logic fully CPU-testable."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = _nonsym_cond(6, 64, 500.0, rng)
+    inv = np.asarray(inverse_newton_schulz_pallas(a, precision="split3"))
+    assert _identity_err_inf(a, inv) < 1e-4
+    # near-identity: the split3 noise-floor clamp keeps the squashed
+    # bottom edge positive (divergence class of r2)
+    ident = (np.eye(32)[None].repeat(4, axis=0) * 3.7).astype(np.float32)
+    inv = np.asarray(inverse_newton_schulz_pallas(ident, precision="split3"))
+    assert _identity_err_inf(ident, inv) < 1e-4
+    # odd sizes / batch padding route through the same pad helpers
+    a_odd = _nonsym_cond(5, 37, 100.0, rng)
+    inv = np.asarray(inverse_newton_schulz_pallas(a_odd, precision="split3"))
+    assert _identity_err_inf(a_odd, inv) < 1e-4
+
+
+def test_ns_pan500_registered(rng):
+    from cuda_matrix_inversion_tpu.ops.registry import (
+        get_inverse_algorithm,
+        is_pallas_algorithm,
+        list_inverse_algorithms,
+    )
+
+    assert "newton_schulz_pan500_pallas" in list_inverse_algorithms(cpu=False)
+    assert is_pallas_algorithm("newton_schulz_pan500_pallas")
+    fn = get_inverse_algorithm("newton_schulz_pan500_pallas")
+    a = _nonsym_cond(4, 32, 120.0, rng)
+    assert _identity_err_inf(a, np.asarray(fn(a))) < 1e-4
+
+
+def test_ns_pan500_in_general_roster():
+    from cuda_matrix_inversion_tpu.bench.inverse_bench import (
+        GENERAL_ALGORITHMS,
+    )
+
+    assert "newton_schulz_pan500_pallas" in GENERAL_ALGORITHMS
+
+
+def test_ns_split3_validation(rng):
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+    )
+
+    a = make_spd_batch(2, 8, rng).astype(np.float32)
+    with pytest.raises(ValueError, match="precision"):
+        inverse_newton_schulz_pallas(a, precision="fp8")
+    with pytest.raises(ValueError, match="pan"):
+        inverse_newton_schulz_pallas(a, init="spd", precision="split3")
+
+
+def test_ns_pan500_faithful_bf16_emulation(rng):
+    """Pin the split3 precision-domain claim in CI: operands rounded
+    through ml_dtypes.bfloat16 with fp32 accumulate reproduce on-chip
+    MXU residuals to ~3% (r2 methodology).  Uses the SHIPPED schedule
+    constants so a retune that breaks the κ=500 domain fails here before
+    it reaches the chip ledger."""
+    import ml_dtypes
+
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        MU_MIN_PAN500,
+        PAN500_SCHEDULE,
+        SPLIT3_NOISE_FLOOR,
+        scaled_round_coeffs,
+    )
+
+    bf16 = ml_dtypes.bfloat16
+
+    def r32(x):
+        return x.astype(bf16).astype(np.float32)
+
+    def dot_bf16(x, y):  # one-pass MXU: bf16 operands, fp32 accumulate
+        return np.einsum("bij,bjk->bik", r32(x).astype(np.float64),
+                         r32(y).astype(np.float64)).astype(np.float32)
+
+    def dot3(x, y):
+        xl = (x - r32(x)).astype(np.float32)
+        yl = (y - r32(y)).astype(np.float32)
+        return (dot_bf16(x, y) + dot_bf16(xl, y)
+                + dot_bf16(x, yl)).astype(np.float32)
+
+    def dot_hi(x, y):  # 6-pass HIGHEST ~ fp32-exact
+        return np.einsum("bij,bjk->bik", x.astype(np.float64),
+                         y.astype(np.float64)).astype(np.float32)
+
+    n = 64
+    a = _nonsym_cond(4, n, 500.0, rng)
+    eye = np.eye(n, dtype=np.float32)
+    r_inf = np.abs(a).sum(axis=2).max(axis=1)
+    c_1 = np.abs(a).sum(axis=1).max(axis=1)
+    x = (np.swapaxes(a, 1, 2) / (r_inf * c_1)[:, None, None]).astype(
+        np.float32)
+    lo, hi = PAN500_SCHEDULE
+    for c in scaled_round_coeffs(MU_MIN_PAN500, lo,
+                                 noise_floor=SPLIT3_NOISE_FLOOR):
+        x = dot3(x, (2.0 * np.float32(c)) * eye
+                 - (np.float32(c) * np.float32(c)) * dot3(a, x))
+    for _ in range(hi):
+        x = x + dot3(x, eye - dot_hi(a, x))
+    assert _identity_err_inf(a, x) < 1e-4
+
+
 def test_scaled_round_coeffs_noise_floor():
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
         scaled_round_coeffs,
