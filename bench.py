@@ -52,6 +52,7 @@ _ORDER = [
     "newton_schulz_spd10_pallas",
     "newton_schulz_spd_pallas",
     "newton_schulz_pallas",
+    "newton_schulz_pan500_pallas",
     "cholesky_pallas",
     "gauss_pallas",
     "lu_pallas",
