@@ -104,6 +104,27 @@ def ns_pan500_near_identity():
     return _check(_gate_err(a, np.asarray(fn(a))))
 
 
+def warm_split3_kappa300():
+    """r3 high-κ warm serving claim: refine a previous inverse of a
+    κ=300 general batch after δ·κ = 0.15 under split3 (measured 1.9e-5
+    at first validation; warm bf16 stalls at 5.5e-2 — the 2⁻⁹·κ·‖R‖
+    wall)."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_warm,
+    )
+
+    rng = np.random.default_rng(33)
+    n = 128
+    q1, _ = np.linalg.qr(rng.standard_normal((8, n, n)))
+    q2, _ = np.linalg.qr(rng.standard_normal((8, n, n)))
+    s = np.geomspace(1.0 / 300.0, 1.0, n)
+    a = ((q1 * s[None, None, :]) @ q2).astype(np.float32)
+    x = np.linalg.inv(a.astype(np.float64)).astype(np.float32)
+    ap = (a * (1.0 + 5e-4 * rng.standard_normal(a.shape))).astype(np.float32)
+    w = np.asarray(inverse_newton_schulz_warm(ap, x, precision="split3"))
+    return _check(_gate_err(ap, w))
+
+
 def ns_spd_kappa30_edge():
     """README NS-spd domain claim (measured 1.8e-5 at κ=30 on chip r2)."""
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
@@ -261,6 +282,7 @@ CHECKS = [
     ("ns_pan500_near_identity", ns_pan500_near_identity),
     ("ns_near_identity", ns_near_identity),
     ("warm_start_delta_edge", warm_start_delta_edge),
+    ("warm_split3_kappa300", warm_split3_kappa300),
     ("pivoting_kernels_gate_100x128", pivoting_kernels_gate_100x128),
     ("gp_fused_gate_128", gp_fused_gate_128),
     ("gp_lml_fused_fit_1600", gp_lml_fused_fit_1600),

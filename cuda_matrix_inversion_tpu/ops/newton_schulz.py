@@ -387,12 +387,12 @@ def ns_vmem_rounds(lo_iters, hi_iters, a_ref, x_ref, tmp_ref, scales=None,
                               + dot(x_ref[b, :, :], tmp_ref[b, :, :], lo))
 
 
-def _ns_warm_kernel(lo_iters, hi_iters, mid_split, a_ref, x0_ref, out_ref,
-                    tmp_ref):
+def _ns_warm_kernel(lo_iters, hi_iters, mid_split, split3, a_ref, x0_ref,
+                    out_ref, tmp_ref):
     """Warm-start Newton-Schulz: seed X from a previous inverse and refine."""
     out_ref[:, :, :] = x0_ref[:, :, :]
     ns_vmem_rounds(lo_iters, hi_iters, a_ref, out_ref, tmp_ref,
-                   mid_split=mid_split)
+                   mid_split=mid_split, split3=split3)
 
 
 @functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
@@ -536,7 +536,7 @@ def inverse_newton_schulz_pallas(
 
 
 @functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
-                                             "interpret"))
+                                             "interpret", "precision"))
 def inverse_newton_schulz_warm(
     a: jnp.ndarray,
     x0: jnp.ndarray,
@@ -544,6 +544,7 @@ def inverse_newton_schulz_warm(
     hi_iters: int = 1,
     block: int | None = None,
     interpret: bool | None = None,
+    precision: str = "bf16",
 ) -> jnp.ndarray:
     """Warm-start batched inversion: refine a previous inverse of a
     slowly-varying batch (one Pallas launch).
@@ -553,6 +554,12 @@ def inverse_newton_schulz_warm(
     built: when A changes by a relative perturbation δ between requests,
     the old inverse X has residual ‖I − A'X‖ ≈ δ·κ(A), so the default
     2 bf16 + 1 polish rounds recover the 1e-4 gate whenever δ·κ ≲ 0.3 —
+    with the additional bf16 bound κ ≲ 30 (the one-pass X·R update
+    carries 2⁻⁹·κ·‖R‖).  ``precision="split3"`` (r3) lifts that bound to
+    the pan500 domain κ ≲ 500 by running every product as the 3-pass
+    error split (same δ·κ ≲ 0.3 contraction condition; measured on chip
+    at κ=300, δ·κ=0.15: 1.9e-5, where warm bf16 stalls at 5.5e-2 — the
+    2⁻⁹·κ·‖R‖ wall) at ~1.5× the warm bf16 MXU cost —
     measured 1.9x the cold spd schedule at 10k x 128 (5.9 vs 11.0 ms,
     where the kernel sits at its 2-read+1-write HBM streaming floor;
     the compute saving is larger at latency-bound small batches).  Falls
@@ -572,6 +579,9 @@ def inverse_newton_schulz_warm(
         tuned_block,
     )
 
+    if precision not in ("bf16", "split3"):
+        raise ValueError(
+            f"precision must be 'bf16' or 'split3', got {precision!r}")
     if a.dtype == jnp.float64 or a.shape[-1] > 224:
         return inverse_newton_schulz(a)
 
@@ -595,7 +605,7 @@ def inverse_newton_schulz_warm(
 
     out = pl.pallas_call(
         functools.partial(_ns_warm_kernel, lo_iters, hi_iters,
-                          not run_interpret),
+                          not run_interpret, precision == "split3"),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] * 2,

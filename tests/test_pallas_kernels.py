@@ -559,6 +559,24 @@ def test_newton_schulz_warm_start(rng):
     assert _identity_err_inf(a3, x3b) < 1e-4
 
 
+def test_newton_schulz_warm_split3(rng):
+    # the high-κ warm serving lane: interpret mode checks the plumbing
+    # and convergence logic (fp32 dots); the precision-domain claim
+    # (1.9e-5 at κ=300 where warm bf16 stalls at 5.5e-2) is pinned by
+    # the chip ledger (warm_split3_kappa300)
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_warm,
+    )
+
+    a = _nonsym_cond(4, 32, 300.0, rng)
+    x = np.linalg.inv(a.astype(np.float64)).astype(np.float32)
+    ap = (a * (1.0 + 5e-4 * rng.standard_normal(a.shape))).astype(np.float32)
+    w = np.asarray(inverse_newton_schulz_warm(ap, x, precision="split3"))
+    assert _identity_err_inf(ap, w) < 1e-4
+    with pytest.raises(ValueError, match="precision"):
+        inverse_newton_schulz_warm(ap, x, precision="fp8")
+
+
 def test_spd10_fast_variant(rng):
     # the kappa<=10 fast lane: registered, Pallas-marked, and gate-clean
     # on its documented domain (CPU here = fp32 interpret; the bf16
