@@ -41,6 +41,16 @@ def _make_cond(batch, n, kappa, rng):
         np.float32)
 
 
+def _make_nonsym_cond(batch, n, kappa, rng):
+    """Nonsymmetric batch with exact 2-norm condition number ``kappa``
+    (geomspace spectrum between independent orthogonal factors — the
+    same class tests/test_pallas_kernels.py::_nonsym_cond pins)."""
+    q1, _ = np.linalg.qr(rng.standard_normal((batch, n, n)))
+    q2, _ = np.linalg.qr(rng.standard_normal((batch, n, n)))
+    s = np.geomspace(1.0 / kappa, 1.0, n)
+    return ((q1 * s[None, None, :]) @ q2).astype(np.float32)
+
+
 def _gate_err(a, inv):
     from cuda_matrix_inversion_tpu.bench.reporting import identity_error_inf
 
@@ -83,12 +93,7 @@ def ns_pan500_kappa500_edge():
     1.5e-5; measured 2.8e-5 on chip at first validation)."""
     from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
 
-    rng = np.random.default_rng(31)
-    n = 128
-    q1, _ = np.linalg.qr(rng.standard_normal((8, n, n)))
-    q2, _ = np.linalg.qr(rng.standard_normal((8, n, n)))
-    s = np.geomspace(1.0 / 500.0, 1.0, n)
-    a = ((q1 * s[None, None, :]) @ q2).astype(np.float32)
+    a = _make_nonsym_cond(8, 128, 500.0, np.random.default_rng(31))
     fn = get_inverse_algorithm("newton_schulz_pan500_pallas")
     return _check(_gate_err(a, np.asarray(fn(a))))
 
@@ -114,11 +119,7 @@ def warm_split3_kappa300():
     )
 
     rng = np.random.default_rng(33)
-    n = 128
-    q1, _ = np.linalg.qr(rng.standard_normal((8, n, n)))
-    q2, _ = np.linalg.qr(rng.standard_normal((8, n, n)))
-    s = np.geomspace(1.0 / 300.0, 1.0, n)
-    a = ((q1 * s[None, None, :]) @ q2).astype(np.float32)
+    a = _make_nonsym_cond(8, 128, 300.0, rng)
     x = np.linalg.inv(a.astype(np.float64)).astype(np.float32)
     ap = (a * (1.0 + 5e-4 * rng.standard_normal(a.shape))).astype(np.float32)
     w = np.asarray(inverse_newton_schulz_warm(ap, x, precision="split3"))

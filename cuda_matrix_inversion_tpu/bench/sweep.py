@@ -202,6 +202,20 @@ def main(argv=None) -> int:
     t0 = time.time()
     out_of_budget = False
 
+    # Fresh start (no completed configs) with a non-empty output table:
+    # appending would duplicate every (config, algorithm) row — a re-sweep
+    # with a deleted progress file did exactly this in r3, ballooning the
+    # outlier sidecar to 49 mostly-duplicate-induced flags (code-review).
+    # Truncate instead, mirroring tools/chip_session.sh's
+    # truncate-only-if-no-progress rule.  Resumed runs (done non-empty)
+    # append as before.
+    fresh_start = not done
+    if args.out and fresh_start and os.path.exists(args.out) \
+            and os.path.getsize(args.out) > 0:
+        print(f"sweep: fresh start — truncating existing {args.out}",
+              file=sys.stderr)
+        open(args.out, "w").close()
+
     stream = open(args.out, "a") if args.out else sys.stdout
     try:
         for d in dirs:

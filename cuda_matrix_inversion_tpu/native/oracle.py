@@ -13,18 +13,29 @@ from typing import Optional
 import numpy as np
 
 _lib: Optional[ctypes.CDLL] = None
+# (path, mtime) of the last FAILED load: a present-but-unloadable .so
+# (missing liblapack at runtime, corrupt build) would otherwise re-dlopen
+# on every registry query, since _populate_native retries until the rows
+# register.  Retried only when the .so changes.
+_failed_load: Optional[tuple] = None
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    # Only successful loads are cached: a stale/missing .so may be rebuilt
-    # later in the process (ensure_built), and lib_path() is a cheap stat.
-    global _lib
+    # Only successful loads are cached unconditionally: a stale/missing
+    # .so may be rebuilt later in the process (ensure_built), and
+    # lib_path() is a cheap stat.
+    global _lib, _failed_load
     if _lib is not None:
         return _lib
+    import os
+
     from cuda_matrix_inversion_tpu.native.build import lib_path
 
     path = lib_path()
     if path is None:
+        return None
+    mtime = os.path.getmtime(path)
+    if _failed_load == (path, mtime):
         return None
     try:
         lib = ctypes.CDLL(path)
@@ -51,6 +62,7 @@ def _load() -> Optional[ctypes.CDLL]:
         _lib = lib
         return _lib
     except (OSError, AttributeError):
+        _failed_load = (path, mtime)
         return None
 
 

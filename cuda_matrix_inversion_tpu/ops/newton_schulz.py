@@ -462,6 +462,14 @@ def inverse_newton_schulz_pallas(
         raise ValueError(
             f"precision must be 'bf16' or 'split3', got {precision!r}")
     split3 = precision == "split3"
+    if split3 and not polish_highest:
+        # the split3 branch of ns_vmem_rounds computes EVERY hi-round
+        # residual at HIGHEST (the 3-pass probe's 2⁻¹⁷·κ error is the
+        # size of the arriving residual at κ=500); a polish_highest=False
+        # split3 lane would need its own calibration — reject rather
+        # than silently run a different kernel than requested
+        raise ValueError("polish_highest=False is not supported with "
+                         "precision='split3'")
     if split3 and init != "pan":
         # the split3 schedule is calibrated on the Pan start's µ = 1/κ²
         # interval evolution; an SPD-start split3 lane would need its own
@@ -553,16 +561,20 @@ def inverse_newton_schulz_warm(
     (``README.md:41-44``: per-timestep covariance batches) but never
     built: when A changes by a relative perturbation δ between requests,
     the old inverse X has residual ‖I − A'X‖ ≈ δ·κ(A), so the default
-    2 bf16 + 1 polish rounds recover the 1e-4 gate whenever δ·κ ≲ 0.3 —
+    2 bf16 + 1 polish rounds recover the 1e-4 gate whenever δ·κ ≲ 0.3,
     with the additional bf16 bound κ ≲ 30 (the one-pass X·R update
-    carries 2⁻⁹·κ·‖R‖).  ``precision="split3"`` (r3) lifts that bound to
-    the pan500 domain κ ≲ 500 by running every product as the 3-pass
-    error split (same δ·κ ≲ 0.3 contraction condition; measured on chip
-    at κ=300, δ·κ=0.15: 1.9e-5, where warm bf16 stalls at 5.5e-2 — the
-    2⁻⁹·κ·‖R‖ wall) at ~1.5× the warm bf16 MXU cost —
-    measured 1.9x the cold spd schedule at 10k x 128 (5.9 vs 11.0 ms,
-    where the kernel sits at its 2-read+1-write HBM streaming floor;
-    the compute saving is larger at latency-bound small batches).  Falls
+    carries 2⁻⁹·κ·‖R‖).  The bf16 warm lane measures 1.9× the cold spd
+    schedule at 10k×128 (5.9 vs 11.0 ms, where the kernel sits at its
+    2-read+1-write HBM streaming floor; the compute saving is larger at
+    latency-bound small batches).
+
+    ``precision="split3"`` (r3) lifts the κ bound to the pan500 domain
+    κ ≲ 500 by running every product as the 3-pass error split (same
+    δ·κ ≲ 0.3 contraction condition) at ~1.5× the warm bf16 MXU cost —
+    no 10k-scale measurement yet; measured on chip at κ=300, δ·κ=0.15:
+    gate 2.0e-5, where warm bf16 stalls at 5.5e-2 (the 2⁻⁹·κ·‖R‖ wall).
+
+    Falls
     back to a cold adaptive solve for f64 / n > 224 (the warm start is
     dropped; measured on chip: the two pipelined inputs overflow the 16 MB
     scoped VMEM at n = 256 even at BM = 8, n = 232 still fits — 224 keeps

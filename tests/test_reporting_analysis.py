@@ -141,6 +141,31 @@ def test_sweep_resumable_chunks_and_errors_companion(fixture_root, tmp_path):
     assert len(lines) == 4 and all(len(p) == 6 for p in lines)
 
 
+def test_sweep_fresh_start_truncates_stale_table(fixture_root, tmp_path):
+    # Regression (r3 code-review): re-sweeping with a deleted progress
+    # file but an existing output table APPENDED a second full pass —
+    # every (config, algorithm) doubled and the outlier audit flagged
+    # stale rows against their fresh duplicates.  A fresh start (no
+    # completed configs in progress) must truncate the table first;
+    # resumed runs keep appending.
+    from cuda_matrix_inversion_tpu.bench import sweep
+
+    out = tmp_path / "rows.txt"
+    prog = tmp_path / "progress.txt"
+    base = ["inverse", fixture_root, "--reps", "1", "--max-dups", "2",
+            "--algorithms", "lu", "--out", str(out)]
+    assert sweep.main(base + ["--progress", str(prog)]) == 0
+    n_rows = len(plots.parse_bench_file(str(out)))
+    assert n_rows == 4
+    # progress deleted (the r3 incident): rerun must NOT duplicate rows
+    prog.unlink()
+    assert sweep.main(base + ["--progress", str(prog)]) == 0
+    assert len(plots.parse_bench_file(str(out))) == n_rows
+    # no progress file at all: each run is a fresh start, same guarantee
+    assert sweep.main(base) == 0
+    assert len(plots.parse_bench_file(str(out))) == n_rows
+
+
 def test_sweep_refuses_empty_table_with_complete_progress(fixture_root,
                                                           tmp_path, capsys):
     # Regression (r3): a complete progress file + an externally truncated
