@@ -19,6 +19,7 @@ trips inside a request beyond input/output transfer.
 
 from __future__ import annotations
 
+import functools
 import threading
 from typing import Dict, Sequence, Tuple
 
@@ -133,9 +134,20 @@ class InversionEngine(_BucketedEngine):
         out = eng.inverse(batch)           # (b, n, n) ndarray in/out
     """
 
-    def __init__(self, algorithm: str = "newton_schulz", **kw):
+    def __init__(self, algorithm: str = "newton_schulz",
+                 warm_precision: str | None = None, **kw):
         super().__init__(**kw)
         self.algorithm = algorithm
+        # warm-refinement precision: the bf16 warm kernel's X·R update
+        # stalls at 2⁻⁹·κ·‖R‖ (κ ≲ 30); engines serving the κ ≲ 500
+        # general class (the pan500 lane) refine through the 3-pass
+        # split instead.  Defaults to match the cold algorithm's domain.
+        if warm_precision is None:
+            warm_precision = ("split3" if "pan500" in algorithm else "bf16")
+        if warm_precision not in ("bf16", "split3"):
+            raise ValueError(f"warm_precision must be 'bf16' or 'split3', "
+                             f"got {warm_precision!r}")
+        self.warm_precision = warm_precision
         self._compiled_warm: Dict[Tuple[int, int], object] = {}
         self._compiled_warm_check: Dict[Tuple[int, int], object] = {}
 
@@ -163,7 +175,9 @@ class InversionEngine(_BucketedEngine):
         )
 
         spec = jax.ShapeDtypeStruct((batch_b, dim_b, dim_b), np.dtype(self.dtype))
-        return jax.jit(inverse_newton_schulz_warm).lower(spec, spec).compile()
+        fn = functools.partial(inverse_newton_schulz_warm,
+                               precision=self.warm_precision)
+        return jax.jit(fn).lower(spec, spec).compile()
 
     def _lower_warm_check(self, batch_b: int, dim_b: int):
         import jax
@@ -174,7 +188,8 @@ class InversionEngine(_BucketedEngine):
         )
 
         def fn(a, x0):
-            x = inverse_newton_schulz_warm(a, x0)
+            x = inverse_newton_schulz_warm(a, x0,
+                                           precision=self.warm_precision)
             eye = jnp.eye(dim_b, dtype=x.dtype)
             ax = jnp.matmul(a, x, precision=jax.lax.Precision.HIGHEST)
             return x, jnp.max(jnp.sum(jnp.abs(ax - eye), axis=-1))

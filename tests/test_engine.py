@@ -106,6 +106,33 @@ def test_engine_inverse_warm(rng):
         eng.inverse_warm(a2, inv1[:3])
 
 
+def test_engine_warm_precision_wiring(rng):
+    # warm_precision defaults track the cold algorithm's domain: the
+    # pan500 lane (kappa <= 500 general class) refines through the
+    # 3-pass split, everything else through the bf16 warm kernel
+    import numpy as np
+    import pytest as _pytest
+
+    import cuda_matrix_inversion_tpu as cmi
+    from cuda_matrix_inversion_tpu.io.fixtures import make_square_batch
+
+    assert cmi.InversionEngine().warm_precision == "bf16"
+    with _pytest.raises(ValueError, match="warm_precision"):
+        cmi.InversionEngine(warm_precision="fp8")
+
+    eng = cmi.InversionEngine(algorithm="newton_schulz_pan500_pallas")
+    assert eng.warm_precision == "split3"
+    # functional: a general (non-SPD) batch round-trips cold -> warm
+    # through the split3 refinement and holds the gate
+    a = make_square_batch(6, 16, rng).astype(np.float32)
+    inv1 = eng.inverse(a)
+    a2 = (a + 0.005 * rng.standard_normal(a.shape)).astype(np.float32)
+    inv2 = eng.inverse_warm(a2, inv1, check=True)
+    err = np.abs(a2.astype(np.float64) @ inv2 - np.eye(16)).sum(-1).max()
+    assert err < 1e-4
+    assert list(eng._compiled_warm_check) == [(8, 16)]
+
+
 def test_engine_concurrent_requests(rng):
     # the engine claims thread-safety for concurrent callers
     from concurrent.futures import ThreadPoolExecutor
