@@ -126,6 +126,34 @@ def warm_split3_kappa300():
     return _check(_gate_err(ap, w))
 
 
+def ns_pan500_xla_n256_kappa500():
+    """r3 XLA-lane domain claim: past the n=224 VMEM ceiling, split3
+    requests run the Precision.HIGH (XLA 3-pass bf16 split) lane — the
+    κ=500 edge must hold under REAL HIGH lowering, which the CPU suite
+    cannot exercise (HIGH is full fp32 there)."""
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    a = _make_nonsym_cond(4, 256, 500.0, np.random.default_rng(41))
+    fn = get_inverse_algorithm("newton_schulz_pan500_pallas")
+    return _check(_gate_err(a, np.asarray(fn(a))))
+
+
+def warm_split3_xla_n256():
+    """r3 warm-past-ceiling claim: a split3 warm request at n=256
+    refines the previous inverse through the XLA HIGH rounds (κ=300,
+    δ·κ = 0.15) instead of discarding it for a cold solve."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_warm,
+    )
+
+    rng = np.random.default_rng(42)
+    a = _make_nonsym_cond(4, 256, 300.0, rng)
+    x = np.linalg.inv(a.astype(np.float64)).astype(np.float32)
+    ap = (a * (1.0 + 5e-4 * rng.standard_normal(a.shape))).astype(np.float32)
+    w = np.asarray(inverse_newton_schulz_warm(ap, x, precision="split3"))
+    return _check(_gate_err(ap, w))
+
+
 def ns_spd_kappa30_edge():
     """README NS-spd domain claim (measured 1.8e-5 at κ=30 on chip r2)."""
     from cuda_matrix_inversion_tpu.ops.newton_schulz import (
@@ -284,6 +312,8 @@ CHECKS = [
     ("ns_near_identity", ns_near_identity),
     ("warm_start_delta_edge", warm_start_delta_edge),
     ("warm_split3_kappa300", warm_split3_kappa300),
+    ("ns_pan500_xla_n256_kappa500", ns_pan500_xla_n256_kappa500),
+    ("warm_split3_xla_n256", warm_split3_xla_n256),
     ("pivoting_kernels_gate_100x128", pivoting_kernels_gate_100x128),
     ("gp_fused_gate_128", gp_fused_gate_128),
     ("gp_lml_fused_fit_1600", gp_lml_fused_fit_1600),

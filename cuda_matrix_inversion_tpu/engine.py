@@ -78,20 +78,24 @@ class _BucketedEngine:
         return (_round_up(batch, self.batch_buckets),
                 _round_up(n, self.dim_buckets))
 
-    def _warm_buckets_for(self, batch: int, n: int) -> Tuple[int, int]:
+    def _warm_buckets_for(self, batch: int, n: int,
+                          served_past_ceiling: bool = False) -> Tuple[int, int]:
         """Bucketing for warm-refinement requests: finer dim buckets up to
         the warm kernels' n=224 VMEM ceiling; past it, fall back to the
-        regular buckets (the warm executable then runs a cold solve
-        internally — warn, since prev_inv is discarded)."""
+        regular buckets.  Unless ``served_past_ceiling`` (the split3
+        warm path refines through XLA-level HIGH rounds at any n), the
+        warm executable then runs a cold solve internally — warn, since
+        prev_inv is discarded."""
         if n <= WARM_DIM_BUCKETS[-1]:
             return (_round_up(batch, self.batch_buckets),
                     _round_up(n, WARM_DIM_BUCKETS))
-        import warnings
+        if not served_past_ceiling:
+            import warnings
 
-        warnings.warn(
-            f"warm refinement serves n <= {WARM_DIM_BUCKETS[-1]}; n={n} "
-            "runs a cold adaptive solve (prev inverse discarded)",
-            stacklevel=3)
+            warnings.warn(
+                f"warm refinement serves n <= {WARM_DIM_BUCKETS[-1]}; n={n} "
+                "runs a cold adaptive solve (prev inverse discarded)",
+                stacklevel=3)
         return self._buckets_for(batch, n)
 
     def warmup(self, shapes: Sequence[Tuple[int, int]]) -> None:
@@ -163,7 +167,9 @@ class InversionEngine(_BucketedEngine):
     def warmup_warm(self, shapes) -> None:
         """Pre-compile the warm-start refinement path for (batch, n) shapes."""
         for batch, n in shapes:
-            batch_b, dim_b = self._warm_buckets_for(batch, n)
+            batch_b, dim_b = self._warm_buckets_for(
+                batch, n,
+                served_past_ceiling=self.warm_precision == "split3")
             self._get_or_compile(self._compiled_warm, batch_b, dim_b,
                                  self._lower_warm)
 
@@ -206,7 +212,8 @@ class InversionEngine(_BucketedEngine):
         the relative change δ satisfies δ·κ(A) ≲ 0.3 — past that, call
         ``inverse`` again.  Shapes must match.  Dims bucket against
         ``WARM_DIM_BUCKETS`` (up to 224, the warm kernel's VMEM ceiling);
-        larger n warns and runs cold.
+        larger n warns and runs cold — except ``warm_precision="split3"``
+        engines, whose XLA-level HIGH rounds refine at any n.
 
         ``check=True`` also computes ‖AX − I‖∞ on device (one extra
         HIGHEST matmul) and raises ``LinAlgError`` when it exceeds
@@ -227,7 +234,8 @@ class InversionEngine(_BucketedEngine):
         batch, n = a.shape[0], a.shape[-1]
         if batch == 0:
             return a.copy()
-        batch_b, dim_b = self._warm_buckets_for(batch, n)
+        batch_b, dim_b = self._warm_buckets_for(
+            batch, n, served_past_ceiling=self.warm_precision == "split3")
         # separate caches: _compiled holds the cold executables and feeds
         # compiled_shapes, which sorts homogeneous (batch, dim) keys
         if check:

@@ -501,6 +501,13 @@ def inverse_newton_schulz_pallas(
                 hi_iters=hi_iters, interpret=interpret, init="spd",
                 polish_highest=polish_highest, mu_min=mu_min)
             return spd_blocked_inverse(a, base, max_base_n=224)
+        if split3:
+            # general κ ≲ 500 past the VMEM ceiling: the XLA-level lane —
+            # same schedule, products at Precision.HIGH (XLA's 3-pass
+            # bf16 split; Mosaic can't lower HIGH, which is why the
+            # Pallas kernel spells it manually)
+            return inverse_newton_schulz_pan500_xla(
+                a, lo_iters=lo_iters, hi_iters=hi_iters, mu_min=mu_min)
         # general (possibly nonsymmetric) matrices: adaptive XLA path
         return inverse_newton_schulz(a, init=init)
 
@@ -543,6 +550,92 @@ def inverse_newton_schulz_pallas(
     return out[:orig, :n_orig, :n_orig].astype(orig_dtype)
 
 
+_H3 = jax.lax.Precision.HIGH  # XLA 3-pass bf16 split (~2⁻¹⁷ relative on TPU)
+
+
+@functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "mu_min"))
+def inverse_newton_schulz_pan500_xla(
+    a: jnp.ndarray,
+    lo_iters: int | None = None,
+    hi_iters: int | None = None,
+    mu_min: float | None = None,
+) -> jnp.ndarray:
+    """XLA-level split-precision pan500 lane: κ ≲ 500 general matrices
+    past the Pallas kernels' n = 224 VMEM ceiling.
+
+    Same scaled-round schedule as the ``precision="split3"`` Pallas
+    kernel, but every contraction product runs at
+    ``jax.lax.Precision.HIGH`` — which XLA lowers to the 3-pass bf16
+    error-split (measured on this chip: 3 MXU passes, vs 6 at HIGHEST),
+    the same decomposition ``ns_vmem_rounds.dot3`` spells manually
+    because Mosaic cannot lower HIGH.  The polish rounds compute the
+    residual at HIGHEST and apply the update at HIGH, exactly mirroring
+    the kernel's split3 hi-round structure, so the lo=14/hi=2
+    calibration (faithful-bf16 emulation + on-chip κ=500 edge) carries
+    over.  Iterates live in HBM (~4 matrix transfers per round vs the
+    kernel's 1-read-1-write), which is why this is the >224 fallback
+    rather than the primary lane.  On CPU HIGH/DEFAULT are full fp32 —
+    the suite validates routing and shapes; the precision domain is
+    pinned by the emulation test and the chip ledger
+    (``ns_pan500_xla_n256_kappa500``: 4.5e-5 at κ=500, n=256).
+
+    Measured on chip at 100×256 (general, κ=500): 1.99 ms/call vs
+    9.46 ms for the adaptive path this replaces (4.8×) and 15.3 ms for
+    XLA LU (7.7×) — the fixed HIGH schedule beats the adaptive loop's
+    HBM-resident while-state plus full-HIGHEST polish.
+    """
+    if lo_iters is None:
+        lo_iters = PAN500_SCHEDULE[0]
+    if hi_iters is None:
+        hi_iters = PAN500_SCHEDULE[1]
+    if a.dtype == jnp.float64:
+        from cuda_matrix_inversion_tpu.ops import xla as _xla
+
+        return _xla.inverse_lu(a)
+    orig_dtype = a.dtype
+    a = a.astype(jnp.float32)
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    r_inf = jnp.max(jnp.sum(jnp.abs(a), axis=2), axis=1)
+    c_1 = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=1)
+    x = jnp.swapaxes(a, 1, 2) / (r_inf * c_1)[:, None, None]
+
+    cs = jnp.asarray(
+        scaled_round_coeffs(MU_MIN_PAN500 if mu_min is None else mu_min,
+                            lo_iters, noise_floor=SPLIT3_NOISE_FLOOR),
+        jnp.float32)
+
+    def lo_round(x, c):
+        ax = jnp.matmul(a, x, precision=_H3)
+        return jnp.matmul(x, (2.0 * c) * eye - (c * c) * ax,
+                          precision=_H3), None
+
+    x, _ = jax.lax.scan(lo_round, x, cs)
+    for _ in range(hi_iters):
+        r = eye - jnp.matmul(a, x, precision=_HI)
+        x = x + jnp.matmul(x, r, precision=_H3)
+    return x.astype(orig_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters"))
+def _warm_refine_split_xla(a, x0, lo_iters: int, hi_iters: int):
+    """XLA-level warm refinement at HIGH precision — the n > 224 warm
+    path for ``precision="split3"`` callers (same δ·κ ≲ 0.3 contraction
+    domain as the kernel; warm starts are already converged, so no
+    recentering scalars — see ``ns_vmem_rounds``)."""
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    x = x0
+    for _ in range(lo_iters):
+        ax = jnp.matmul(a, x, precision=_H3)
+        x = jnp.matmul(x, 2.0 * eye - ax, precision=_H3)
+    for _ in range(hi_iters):
+        r = eye - jnp.matmul(a, x, precision=_HI)
+        x = x + jnp.matmul(x, r, precision=_H3)
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("lo_iters", "hi_iters", "block",
                                              "interpret", "precision"))
 def inverse_newton_schulz_warm(
@@ -574,11 +667,14 @@ def inverse_newton_schulz_warm(
     no 10k-scale measurement yet; measured on chip at κ=300, δ·κ=0.15:
     gate 2.0e-5, where warm bf16 stalls at 5.5e-2 (the 2⁻⁹·κ·‖R‖ wall).
 
-    Falls
-    back to a cold adaptive solve for f64 / n > 224 (the warm start is
-    dropped; measured on chip: the two pipelined inputs overflow the 16 MB
-    scoped VMEM at n = 256 even at BM = 8, n = 232 still fits — 224 keeps
-    headroom and matches the fused-GP kernel's boundary).
+    Past the kernels' n = 224 VMEM ceiling (measured on chip: the two
+    pipelined inputs overflow the 16 MB scoped VMEM at n = 256 even at
+    BM = 8; n = 232 still fits — 224 keeps headroom and matches the
+    fused-GP kernel's boundary): ``precision="split3"`` refines through
+    the XLA-level HIGH-precision rounds (:func:`_warm_refine_split_xla`
+    — the warm start survives, at HBM-loop cost); bf16 falls back to a
+    cold adaptive solve (its one-pass X·R update is out of domain for
+    the κ range that needs big n), as does f64.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -594,7 +690,15 @@ def inverse_newton_schulz_warm(
     if precision not in ("bf16", "split3"):
         raise ValueError(
             f"precision must be 'bf16' or 'split3', got {precision!r}")
-    if a.dtype == jnp.float64 or a.shape[-1] > 224:
+    if a.dtype == jnp.float64:
+        return inverse_newton_schulz(a)
+    if a.shape[-1] > 224:
+        if precision == "split3":
+            orig_dtype = a.dtype
+            out = _warm_refine_split_xla(a.astype(jnp.float32),
+                                         x0.astype(jnp.float32),
+                                         lo_iters, hi_iters)
+            return out.astype(orig_dtype)
         return inverse_newton_schulz(a)
 
     batch = a.shape[0]

@@ -133,6 +133,30 @@ def test_engine_warm_precision_wiring(rng):
     assert list(eng._compiled_warm_check) == [(8, 16)]
 
 
+def test_engine_warm_split3_past_vmem_ceiling(rng):
+    # a split3 engine serves warm requests at n > 224 through the
+    # XLA-level HIGH rounds: no "runs a cold solve" warning, and the
+    # refinement actually recovers the gate from the previous inverse
+    import warnings
+
+    import numpy as np
+
+    import cuda_matrix_inversion_tpu as cmi
+    from cuda_matrix_inversion_tpu.io.fixtures import make_square_batch
+
+    eng = cmi.InversionEngine(algorithm="newton_schulz_pan500_pallas",
+                              batch_buckets=(2,), dim_buckets=(256,))
+    a = make_square_batch(2, 240, rng).astype(np.float32)
+    inv1 = eng.inverse(a)
+    a2 = (a + 1e-4 * rng.standard_normal(a.shape)).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        inv2 = eng.inverse_warm(a2, inv1)
+    err = np.abs(a2.astype(np.float64) @ inv2 - np.eye(240)).sum(-1).max()
+    assert err < 1e-4
+    assert list(eng._compiled_warm) == [(2, 256)]
+
+
 def test_engine_concurrent_requests(rng):
     # the engine claims thread-safety for concurrent callers
     from concurrent.futures import ThreadPoolExecutor

@@ -264,6 +264,84 @@ def test_ns_pan500_split3_gate(rng):
     assert _identity_err_inf(a_odd, inv) < 1e-4
 
 
+def test_ns_pan500_xla_lane_past_vmem_ceiling(rng):
+    """n > 224 split3 requests route to the XLA-level HIGH-precision
+    lane (not the adaptive fallback) and hold the gate; the warm split3
+    path refines (rather than discarding) the previous inverse there."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_pallas,
+        inverse_newton_schulz_pan500_xla,
+        inverse_newton_schulz_warm,
+    )
+
+    a = _nonsym_cond(2, 240, 300.0, rng)
+    inv = np.asarray(inverse_newton_schulz_pallas(a, precision="split3"))
+    assert _identity_err_inf(a, inv) < 1e-4
+    # the direct XLA entry agrees with the routed result bit-for-bit
+    direct = np.asarray(inverse_newton_schulz_pan500_xla(a))
+    np.testing.assert_array_equal(inv, direct)
+
+    # warm split3 at n > 224: 2+1 rounds from the previous inverse
+    # recover the gate after a small perturbation (the bf16 warm path
+    # would discard x0 and run a cold adaptive solve here)
+    a2 = (a + 1e-4 * rng.standard_normal(a.shape)).astype(np.float32)
+    warm = np.asarray(inverse_newton_schulz_warm(a2, inv,
+                                                 precision="split3"))
+    assert _identity_err_inf(a2, warm) < 1e-4
+
+
+def test_ns_pan500_xla_faithful_high_emulation(rng):
+    """Pin the XLA lane's precision domain in CI: Precision.HIGH is the
+    same 3-pass bf16 error-split the emulated dot3 computes (x_hi·y_hi +
+    x_lo·y_hi + x_hi·y_lo, fp32 accumulate), so the shipped schedule must
+    hold the κ=500 edge under that emulation with the HIGH-everywhere
+    round structure (contraction products AND polish updates at HIGH,
+    polish residual at HIGHEST)."""
+    import ml_dtypes
+
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        MU_MIN_PAN500,
+        PAN500_SCHEDULE,
+        SPLIT3_NOISE_FLOOR,
+        scaled_round_coeffs,
+    )
+
+    bf16 = ml_dtypes.bfloat16
+
+    def r32(x):
+        return x.astype(bf16).astype(np.float32)
+
+    def dot_high(x, y):  # XLA HIGH: 3-pass bf16 split, fp32 accumulate
+        xl = (x - r32(x)).astype(np.float32)
+        yl = (y - r32(y)).astype(np.float32)
+
+        def one(p, q):
+            return np.einsum("bij,bjk->bik", r32(p).astype(np.float64),
+                             r32(q).astype(np.float64)).astype(np.float32)
+
+        return (one(x, y) + one(xl, y) + one(x, yl)).astype(np.float32)
+
+    def dot_hi(x, y):  # 6-pass HIGHEST ~ fp32-exact
+        return np.einsum("bij,bjk->bik", x.astype(np.float64),
+                         y.astype(np.float64)).astype(np.float32)
+
+    n = 64
+    a = _nonsym_cond(4, n, 500.0, rng)
+    eye = np.eye(n, dtype=np.float32)
+    r_inf = np.abs(a).sum(axis=2).max(axis=1)
+    c_1 = np.abs(a).sum(axis=1).max(axis=1)
+    x = (np.swapaxes(a, 1, 2) / (r_inf * c_1)[:, None, None]).astype(
+        np.float32)
+    lo, hi = PAN500_SCHEDULE
+    for c in scaled_round_coeffs(MU_MIN_PAN500, lo,
+                                 noise_floor=SPLIT3_NOISE_FLOOR):
+        x = dot_high(x, (2.0 * np.float32(c)) * eye
+                     - (np.float32(c) * np.float32(c)) * dot_high(a, x))
+    for _ in range(hi):
+        x = x + dot_high(x, eye - dot_hi(a, x))
+    assert _identity_err_inf(a, x) < 1e-4
+
+
 def test_ns_pan500_registered(rng):
     from cuda_matrix_inversion_tpu.ops.registry import (
         get_inverse_algorithm,
