@@ -144,7 +144,10 @@ def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
             # 1. accuracy gate first (one compile; skips timing on failure)
             inv = np.asarray(
                 jax.device_get(jax.jit(fn)(jax.device_put(a_host))))
-            if identity_error_inf(a_host, inv) >= 1e-4:
+            gate_err = identity_error_inf(a_host, inv)
+            if gate_err >= 1e-4:
+                print(f"bench: {name} gate err {gate_err:.2e} >= 1e-4 — "
+                      "skipped", file=sys.stderr)
                 continue
             if time.monotonic() >= deadline:
                 break
@@ -152,14 +155,21 @@ def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
             # block_until_ready is untrustworthy through the tunnel)
             samples = np.asarray(
                 chained_op_samples(fn, a_host, iters=16, trials=5)) * 1e3
-            if float(np.median(samples)) <= 0.0 \
+            kept = samples[samples >= floor_ms]  # variance guard
+            if (float(np.median(samples)) <= 0.0 or kept.size == 0) \
                     and time.monotonic() < deadline:
-                # tunnel jitter can sink short-chain slopes; one longer try
+                # tunnel jitter can sink short-chain slopes negative OR
+                # below the HBM floor wholesale (seen: spd10 at ~37 µs had
+                # all 5 iters=16 samples rejected); one longer-chain retry
+                # quarters the per-iteration noise
                 samples = np.asarray(
                     chained_op_samples(fn, a_host, iters=64, trials=5)) * 1e3
+                kept = samples[samples >= floor_ms]
             total = int(samples.size)
-            kept = samples[samples >= floor_ms]  # variance guard
             if kept.size == 0:
+                print(f"bench: {name}: all {total} slope samples below the "
+                      f"{floor_ms:.4f} ms HBM floor even after the long-chain"
+                      " retry — rejected as tunnel noise", file=sys.stderr)
                 continue
             emitter.update(name, float(np.median(kept)),
                            (float(kept.min()), float(kept.max())),

@@ -193,6 +193,46 @@ def test_emitter_no_result_is_valid_json(capsys):
     assert line["value"] == 0.0 and "note" in line
 
 
+def test_run_retries_long_chain_when_all_samples_below_floor(monkeypatch):
+    # Reproduces the 2026-08-19 chip session: spd10 (~37 µs/batch) had
+    # ALL 5 iters=16 slope samples under the 0.016 ms HBM floor and was
+    # silently dropped, costing the headline a 2.5× faster lane.  The
+    # candidate must be retried once at iters=64 before rejection.
+    import time
+
+    import numpy as np
+
+    from cuda_matrix_inversion_tpu.bench import timing
+    from cuda_matrix_inversion_tpu.ops import registry
+
+    bench = _load_bench()
+    calls = []
+
+    def fake_samples(fn, x0, iters=16, trials=5):
+        calls.append(iters)
+        # short chains: pure tunnel noise below the floor; long chains:
+        # a clean 0.05 ms/call signal
+        per_call_s = 1e-9 if iters < 64 else 5e-5
+        return [per_call_s] * trials
+
+    monkeypatch.setattr(timing, "chained_op_samples", fake_samples)
+    monkeypatch.setattr(registry, "list_inverse_algorithms",
+                        lambda cpu=False: ["newton_schulz_spd10_pallas"])
+    # identity batch: fn(x)=x passes the 1e-4 gate exactly
+    monkeypatch.setattr(registry, "get_inverse_algorithm",
+                        lambda name: (lambda x: x))
+
+    a = np.broadcast_to(np.eye(8, dtype=np.float32), (4, 8, 8)).copy()
+    emitter = bench._Emitter(floor_ms=0.016)
+    t0 = time.monotonic()
+    bench._run(emitter, a, deadline=t0 + 60, t0=t0, budget_s=60)
+
+    assert calls == [16, 64], "expected one long-chain retry"
+    assert emitter.best is not None
+    assert emitter.best["name"] == "newton_schulz_spd10_pallas"
+    assert emitter.best["ms"] == pytest.approx(0.05, rel=1e-6)
+
+
 # --- sweep: square kind end-to-end + audit wiring -----------------------
 
 def test_sweep_square_kind_end_to_end(tmp_path):
