@@ -152,24 +152,30 @@ def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
             if time.monotonic() >= deadline:
                 break
             # 2. dependency-chained slope timing (bench/timing.py — plain
-            # block_until_ready is untrustworthy through the tunnel)
-            samples = np.asarray(
-                chained_op_samples(fn, a_host, iters=16, trials=5)) * 1e3
-            kept = samples[samples >= floor_ms]  # variance guard
-            if (float(np.median(samples)) <= 0.0 or kept.size == 0) \
-                    and time.monotonic() < deadline:
-                # tunnel jitter can sink short-chain slopes negative OR
-                # below the HBM floor wholesale (seen: spd10 at ~37 µs had
-                # all 5 iters=16 samples rejected); one longer-chain retry
-                # quarters the per-iteration noise
+            # block_until_ready is untrustworthy through the tunnel).
+            # Tunnel/host jitter can sink short-chain slopes negative OR
+            # below the HBM floor wholesale (seen: spd10 at ~37 µs had all
+            # five iters=16 samples rejected); each 4× chain escalation
+            # quarters the per-iteration noise, so escalate until samples
+            # survive the guard or the chain is 256 ops long.
+            for iters in (16, 64, 256):
                 samples = np.asarray(
-                    chained_op_samples(fn, a_host, iters=64, trials=5)) * 1e3
-                kept = samples[samples >= floor_ms]
+                    chained_op_samples(fn, a_host, iters=iters,
+                                       trials=5)) * 1e3
+                kept = samples[samples >= floor_ms]  # variance guard
+                if kept.size > 0 and float(np.median(samples)) > 0.0:
+                    break
+                # escalating means two FRESH chain-closure compiles
+                # (~20-40 s each through the tunnel) — only with budget
+                # to spare, so a wedged compile can't eat the deadline
+                if deadline - time.monotonic() < 120.0:
+                    break
             total = int(samples.size)
             if kept.size == 0:
                 print(f"bench: {name}: all {total} slope samples below the "
-                      f"{floor_ms:.4f} ms HBM floor even after the long-chain"
-                      " retry — rejected as tunnel noise", file=sys.stderr)
+                      f"{floor_ms:.4f} ms HBM floor even after chain "
+                      "escalation — rejected as tunnel noise",
+                      file=sys.stderr)
                 continue
             emitter.update(name, float(np.median(kept)),
                            (float(kept.min()), float(kept.max())),

@@ -225,7 +225,9 @@ def test_run_retries_long_chain_when_all_samples_below_floor(monkeypatch):
     a = np.broadcast_to(np.eye(8, dtype=np.float32), (4, 8, 8)).copy()
     emitter = bench._Emitter(floor_ms=0.016)
     t0 = time.monotonic()
-    bench._run(emitter, a, deadline=t0 + 60, t0=t0, budget_s=60)
+    # budget must clear the escalation guard (escalating = fresh compiles,
+    # skipped when < 120 s of budget remains)
+    bench._run(emitter, a, deadline=t0 + 600, t0=t0, budget_s=600)
 
     assert calls == [16, 64], "expected one long-chain retry"
     assert emitter.best is not None
