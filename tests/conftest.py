@@ -25,6 +25,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # fp64 sweep support (tests always on CPU)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The full suite compiles many hundreds of CPU executables in one
+    process; at that volume jaxlib's compiler segfaulted inside
+    backend_compile_and_load near the END of the suite (reproduced solo
+    2026-08-19, exit 139 in test_xla_ops after ~280 green tests; the same
+    tests pass in isolation).  Dropping executable caches at module
+    boundaries keeps the live-compilation footprint bounded with no
+    cross-module cache value — modules compile disjoint shapes."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
