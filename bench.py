@@ -66,6 +66,35 @@ def _hbm_floor_ms(a: np.ndarray) -> float:
     return 2 * a.nbytes / _HBM_PEAK_BYTES_PER_S * 1e3  # read A + write X
 
 
+_SESSIONS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "results", "bench-sessions.txt")
+
+
+def _session_median_ms(extra_ms: float) -> float | None:
+    """Median batch_ms across the session ledger plus this run's value.
+
+    The ledger (results/bench-sessions.txt) accumulates one JSON line per
+    bench.py process; a single 5-sample slope set on a shared chip is
+    fragile evidence (VERDICT r3 weak #2), the cross-session median is not.
+    """
+    vals = [extra_ms]
+    try:
+        with open(_SESSIONS_PATH) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                try:
+                    ms = json.loads(line).get("detail", {}).get("batch_ms")
+                except (json.JSONDecodeError, AttributeError):
+                    continue
+                if isinstance(ms, (int, float)) and ms > 0:
+                    vals.append(float(ms))
+    except OSError:
+        pass
+    return float(np.median(vals))
+
+
 class _Emitter:
     """Prints the one JSON line exactly once, from whichever path gets
     there first (main finally / SIGTERM / deadline-guard thread)."""
@@ -76,11 +105,17 @@ class _Emitter:
         self.best = None  # dict with name/ms/spread/rejected
         self.floor_ms = floor_ms
 
-    def update(self, name, ms, spread, rejected, total):
+    def update(self, name, ms, spread, rejected, total, kept=None):
         with self.lock:
-            if self.best is None or ms < self.best["ms"]:
+            # replace on strictly-better median, OR same algorithm with a
+            # refreshed (resampled, larger) sample set — the winner
+            # resample pass must be able to move its own median honestly
+            if (self.best is None or ms < self.best["ms"]
+                    or name == self.best["name"]):
                 self.best = {"name": name, "ms": ms, "spread": spread,
-                             "rejected": rejected, "total": total}
+                             "rejected": rejected, "total": total,
+                             "kept": kept if kept is not None
+                             else total - rejected}
 
     def emit(self, note: str = None) -> int:
         with self.lock:
@@ -104,13 +139,27 @@ class _Emitter:
                   # HBM-floor variance guard discarded as tunnel noise
                   "samples_rejected": best["rejected"],
                   "samples_total": best["total"],
+                  "samples_kept": best["kept"],
                   "hbm_floor_ms": round(self.floor_ms, 4)}
+        if best["kept"] < 3:
+            # ADVICE r3 medium: a 1-2 sample headline is publishable (a
+            # number beats nothing) but must be distinguishable downstream
+            detail["minority_samples"] = True
+        sess = _session_median_ms(best["ms"])
+        if sess is not None:
+            detail["session_median_ms"] = round(sess, 4)
         if note:
             detail["note"] = note
-        print(json.dumps({"metric": _METRIC, "value": round(per_sec, 1),
-                          "unit": "inversions/s",
-                          "vs_baseline": round(per_sec / (100.0 / (_BASELINE_MS / 1e3)), 2),
-                          "detail": detail}), flush=True)
+        out = {"metric": _METRIC, "value": round(per_sec, 1),
+               "unit": "inversions/s",
+               "vs_baseline": round(per_sec / (100.0 / (_BASELINE_MS / 1e3)), 2),
+               "detail": detail}
+        print(json.dumps(out), flush=True)
+        try:  # ledger append must never break the emission (driver parses stdout)
+            with open(_SESSIONS_PATH, "a") as f:
+                f.write(json.dumps(out) + "\n")
+        except OSError:
+            pass
         return 0
 
 
@@ -128,6 +177,7 @@ def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
              if n not in _EXCLUDE]
     names.sort(key=lambda n: (_ORDER.index(n) if n in _ORDER else len(_ORDER), n))
     floor_ms = emitter.floor_ms
+    winner = None  # (median_ms, name, fn, iters, kept_list, total)
 
     for name in names:
         now = time.monotonic()
@@ -180,13 +230,42 @@ def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
                       "escalation — rejected as tunnel noise",
                       file=sys.stderr)
                 continue
-            emitter.update(name, float(np.median(kept)),
+            med = float(np.median(kept))
+            emitter.update(name, med,
                            (float(kept.min()), float(kept.max())),
-                           total - int(kept.size), total)
+                           total - int(kept.size), total,
+                           kept=int(kept.size))
+            if winner is None or med < winner[0]:
+                winner = (med, name, fn, iters, list(map(float, kept)), total)
         except Exception as e:
             print(f"bench: {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             continue
+
+    # VERDICT r3 next #4: instead of leaving budget on the table after the
+    # early stop, spend it tightening the winner's sample set (target ≥10
+    # kept samples).  Same chain length → the jit closures re-lower but the
+    # persistent compilation cache serves the executable, so each extra
+    # trial block costs timing only.
+    if winner is None:
+        return
+    med, name, fn, iters, kept_list, total = winner
+    while (len(kept_list) < 10
+           and deadline - time.monotonic() > 90.0):
+        try:
+            samples = np.asarray(
+                chained_op_samples(fn, a_host, iters=iters, trials=5)) * 1e3
+        except Exception as e:
+            print(f"bench: resample of {name} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            break
+        total += int(samples.size)
+        kept_list.extend(float(s) for s in samples if s >= floor_ms)
+        if kept_list:
+            arr = np.asarray(kept_list)
+            emitter.update(name, float(np.median(arr)),
+                           (float(arr.min()), float(arr.max())),
+                           total - arr.size, total, kept=int(arr.size))
 
 
 def main() -> int:

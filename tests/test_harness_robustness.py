@@ -167,8 +167,9 @@ def _load_bench():
     return mod
 
 
-def test_emitter_emits_exactly_once(capsys):
+def test_emitter_emits_exactly_once(capsys, tmp_path):
     bench = _load_bench()
+    bench._SESSIONS_PATH = str(tmp_path / "ledger.txt")  # don't pollute results/
     e = bench._Emitter(floor_ms=0.016)
     e.update("slow", 2.0, (1.9, 2.1), 0, 5)
     e.update("fast", 0.05, (0.04, 0.06), 2, 5)
@@ -183,10 +184,35 @@ def test_emitter_emits_exactly_once(capsys):
     assert line["detail"]["samples_total"] == 5
     assert line["value"] == pytest.approx(100.0 / 0.05 * 1e3, rel=1e-3)
     assert line["vs_baseline"] > 100
+    # r4: the emission is appended to the session ledger and carries the
+    # cross-session median (here: just this run)
+    assert line["detail"]["session_median_ms"] == pytest.approx(0.05)
+    ledger = open(bench._SESSIONS_PATH).read().strip().splitlines()
+    assert json.loads(ledger[-1])["detail"]["algorithm"] == "fast"
 
 
-def test_emitter_no_result_is_valid_json(capsys):
+def test_emitter_flags_minority_samples_and_session_median(capsys, tmp_path):
+    # ADVICE r3 medium: a 1-2 kept-sample headline must be distinguishable;
+    # VERDICT r3 next #4: session_median_ms from the ledger.
     bench = _load_bench()
+    bench._SESSIONS_PATH = str(tmp_path / "ledger.txt")
+    with open(bench._SESSIONS_PATH, "w") as f:
+        f.write("# comment line\n")
+        for ms in (0.05, 0.07, 0.09):
+            f.write(json.dumps({"detail": {"batch_ms": ms}}) + "\n")
+    e = bench._Emitter(floor_ms=0.016)
+    e.update("fast", 0.06, (0.05, 0.07), rejected=3, total=5, kept=2)
+    assert e.emit() == 0
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["detail"]["minority_samples"] is True
+    assert line["detail"]["samples_kept"] == 2
+    # median of [0.06, 0.05, 0.07, 0.09]
+    assert line["detail"]["session_median_ms"] == pytest.approx(0.065)
+
+
+def test_emitter_no_result_is_valid_json(capsys, tmp_path):
+    bench = _load_bench()
+    bench._SESSIONS_PATH = str(tmp_path / "ledger.txt")
     e = bench._Emitter(floor_ms=0.016)
     assert e.emit() == 1
     line = json.loads(capsys.readouterr().out.strip())
@@ -229,10 +255,13 @@ def test_run_retries_long_chain_when_all_samples_below_floor(monkeypatch):
     # skipped when < 120 s of budget remains)
     bench._run(emitter, a, deadline=t0 + 600, t0=t0, budget_s=600)
 
-    assert calls == [16, 64], "expected one long-chain retry"
+    # [16, 64]: escalation retry; trailing [64]: the r4 winner-resample
+    # pass that tops the kept set up to ≥10 samples (VERDICT r3 next #4)
+    assert calls == [16, 64, 64], "expected retry then one resample block"
     assert emitter.best is not None
     assert emitter.best["name"] == "newton_schulz_spd10_pallas"
     assert emitter.best["ms"] == pytest.approx(0.05, rel=1e-6)
+    assert emitter.best["kept"] == 10
 
 
 # --- sweep: square kind end-to-end + audit wiring -----------------------
