@@ -126,6 +126,34 @@ def warm_split3_kappa300():
     return _check(_gate_err(ap, w))
 
 
+def ns_pan500_pallas_n224_vmem():
+    """ADVICE r3: pin the split3 Pallas lane's scoped-VMEM margin at the
+    documented n=224 ceiling — dot3 materializes extra (n, n) operand
+    splits per product vs the bf16 kernel whose ceiling was measured, so
+    the boundary needs its own chip evidence (a Mosaic VMEM overflow here
+    fails loudly, which is the point)."""
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
+
+    a = _make_nonsym_cond(8, 224, 400.0, np.random.default_rng(51))
+    fn = get_inverse_algorithm("newton_schulz_pan500_pallas")
+    return _check(_gate_err(a, np.asarray(fn(a))))
+
+
+def warm_split3_pallas_n224_vmem():
+    """ADVICE r3: same n=224 VMEM-margin pin for the warm split3 Pallas
+    kernel (κ=300, δ·κ = 0.15)."""
+    from cuda_matrix_inversion_tpu.ops.newton_schulz import (
+        inverse_newton_schulz_warm,
+    )
+
+    rng = np.random.default_rng(52)
+    a = _make_nonsym_cond(4, 224, 300.0, rng)
+    x = np.linalg.inv(a.astype(np.float64)).astype(np.float32)
+    ap = (a * (1.0 + 5e-4 * rng.standard_normal(a.shape))).astype(np.float32)
+    w = np.asarray(inverse_newton_schulz_warm(ap, x, precision="split3"))
+    return _check(_gate_err(ap, w))
+
+
 def ns_pan500_xla_n256_kappa500():
     """r3 XLA-lane domain claim: past the n=224 VMEM ceiling, split3
     requests run the Precision.HIGH (XLA 3-pass bf16 split) lane — the
@@ -312,6 +340,8 @@ CHECKS = [
     ("ns_near_identity", ns_near_identity),
     ("warm_start_delta_edge", warm_start_delta_edge),
     ("warm_split3_kappa300", warm_split3_kappa300),
+    ("ns_pan500_pallas_n224_vmem", ns_pan500_pallas_n224_vmem),
+    ("warm_split3_pallas_n224_vmem", warm_split3_pallas_n224_vmem),
     ("ns_pan500_xla_n256_kappa500", ns_pan500_xla_n256_kappa500),
     ("warm_split3_xla_n256", warm_split3_xla_n256),
     ("pivoting_kernels_gate_100x128", pivoting_kernels_gate_100x128),

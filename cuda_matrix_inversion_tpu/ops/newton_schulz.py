@@ -29,6 +29,7 @@ framework targets (reference fixture construction:
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -443,9 +444,13 @@ def inverse_newton_schulz_pallas(
 
     Beyond that the bf16 floor (≈ eps_bf16·κ) exceeds what the fp32
     polish can recover; use :func:`inverse_newton_schulz` (adaptive) or
-    the Cholesky paths.  f64 falls back to the adaptive version; n > 224
-    (the measured VMEM ceiling) routes SPD inputs through the Schur block
-    recursion (``ops/schur.py``) and general inputs to the adaptive path.
+    the Cholesky paths.  f64 falls back to the adaptive version — for
+    split3 requests too (with a warning): f64 arithmetic natively exceeds
+    the 2⁻¹⁷ split-precision floor, so the adaptive f64 path dominates
+    the lane that was asked for (ADVICE r3).  n > 224 (the measured VMEM
+    ceiling) routes SPD inputs through the Schur block recursion
+    (``ops/schur.py``), split3 through the XLA-level HIGH-precision lane,
+    and remaining general inputs to the adaptive path.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -483,6 +488,14 @@ def inverse_newton_schulz_pallas(
     if hi_iters is None:
         hi_iters = schedule[1]
     if a.dtype == jnp.float64:
+        if split3:
+            # loud like the other explicit-lane mismatches (ADVICE r3):
+            # the request is served by a DIFFERENT algorithm — adaptive
+            # f64 NS, which natively beats the 2⁻¹⁷ split floor
+            warnings.warn(
+                "precision='split3' with float64 input: serving via the "
+                "adaptive f64 Newton-Schulz path (f64 arithmetic already "
+                "exceeds the split-precision floor)", stacklevel=2)
         return inverse_newton_schulz(a, init=init)
     if a.shape[-1] > 224:
         # 224 is the measured on-chip ceiling: at n=256, BM=8 the

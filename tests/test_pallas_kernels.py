@@ -374,6 +374,23 @@ def test_ns_split3_validation(rng):
         inverse_newton_schulz_pallas(a, precision="fp8")
     with pytest.raises(ValueError, match="pan"):
         inverse_newton_schulz_pallas(a, init="spd", precision="split3")
+    # ADVICE r3: an explicitly-requested split3 lane served by a different
+    # algorithm (adaptive f64) must say so, not silently reroute
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from cuda_matrix_inversion_tpu.bench.reporting import (
+            identity_error_inf,
+        )
+
+        a64 = a.astype(np.float64)
+        with pytest.warns(UserWarning, match="split3.*float64"):
+            inv = np.asarray(
+                inverse_newton_schulz_pallas(a64, precision="split3"))
+        assert identity_error_inf(a64, inv) < 1e-8
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_ns_pan500_faithful_bf16_emulation(rng):
