@@ -1,0 +1,301 @@
+"""HBM-resident batched pivoted LU inversion for n past the VMEM ceiling.
+
+The reference's winning path — cuBLAS ``Sgetrf/SgetriBatched``
+(``src/gauss/inverse_gpu.cu:24-50``) — works at ANY n because cuBLAS
+stages panels through shared memory while the matrix stays in GDDR.  The
+all-VMEM kernel in :mod:`.pallas_lu` cannot follow past n ≈ 256 (its work
+buffer alone is ``BM·n²`` fp32), so this module is the same capability
+rebuilt around the TPU memory hierarchy:
+
+* the ``(batch, n, n)`` work buffer **never leaves HBM** — it is a plain
+  XLA value, functionally updated panel by panel;
+* the only Pallas launch is the part XLA is bad at — the latency-bound
+  per-column pivot/eliminate chain — and it sees just ONE ``pw``-wide
+  block column (``(bm, n, pw)`` VMEM, independent of how big n grows);
+* every O(n³) term (trailing Schur updates, the getri block
+  substitutions, the Newton polish) is an XLA batched matmul riding the
+  MXU at ``precision=HIGHEST``.
+
+**No row ever physically moves.**  The panel kernel factors in scattered
+row positions (the swap-free trick of ``_panel_factor_swapfree``),
+threading a per-row destination vector ``dest`` across panels: pivoted
+rows carry ``dest ∈ [0, n)``, unpivoted rows a ``≥ n`` marker.  The
+trailing update masks the already-pivoted rows out of ``L21`` instead of
+compacting them away — ~1.5× the MXU flops of a shrinking right-looking
+update, far cheaper than gathering the O(n³/pw) bytes a per-panel
+``laswp`` would stream through HBM.  Only ``pw`` rows per panel (the new
+pivot rows) are gathered, to build ``U12 = L11⁻¹·A12`` and to save the
+ordered compact blocks the substitution phase needs; the full inverse is
+assembled without ever materializing the permuted matrix, and the column
+permutation ``A⁻¹ = (U⁻¹L⁻¹)·P`` is ONE final lane-dim gather.
+
+Because ``k0`` enters the panel kernel as a runtime SMEM scalar, all
+``n/pw`` panel launches share ONE Mosaic kernel (shapes are identical —
+the panel is always the full n rows), so compile time does not grow with
+the panel count.
+
+Accuracy matches the VMEM kernel's contract: true magnitude partial
+pivoting, compact LU, triangular-block substitutions, one fp32 Newton
+polish (gate < 1e-4 on the κ ≈ 4n general-square fixture class).
+Singular batches propagate non-finite values (the cuBLAS infoArray
+analog, checkable via :mod:`.host_api`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_matrix_inversion_tpu.ops.pallas_common import (
+    default_interpret,
+    divisor_block,
+    pad_batch,
+    pad_matrix_dim,
+)
+from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
+    _mm,
+    _triangular_inverse_body,
+)
+from cuda_matrix_inversion_tpu.ops.pallas_lu import _panel_factor_swapfree
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _hmm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def _panel_kernel(pw: int, steps: int, k0_ref, bc_ref, dest_in_ref,
+                  pan_ref, dest_ref, ldi_ref, udi_ref,
+                  pcT_ref, used_ref, dblk_ref, tri_ref, tinv_ref, tnat_ref):
+    """Factor one ``pw``-wide block column over the still-unpivoted rows.
+
+    Inputs: ``k0_ref`` (1,1) int32 SMEM — the panel's global column
+    offset (runtime, so one kernel serves every panel); ``bc_ref``
+    (bm, n, pw) — the block column, natural layout; ``dest_in_ref``
+    (bm, n) f32 — per-row destinations so far (≥ n ⇔ unpivoted).
+
+    Outputs: the factored block column (compact L\\U, rows scattered),
+    the advanced dest vector, and the ordered pw×pw triangular inverses
+    ``L11⁻¹`` and ``(U11⁻¹)ᵀ`` the caller needs for ``U12`` and getri.
+    """
+    bm, n, _ = bc_ref.shape
+    kf = k0_ref[0, 0].astype(jnp.float32)
+
+    dest_ref[:, :] = dest_in_ref[:, :]
+    used_ref[:, :] = (dest_in_ref[:, :] < float(n)).astype(jnp.float32)
+    for b in range(bm):
+        pcT_ref[b, :, :] = bc_ref[b, :, :].T
+
+    _panel_factor_swapfree(pw, kf, n, pcT_ref, dest_ref, used_ref,
+                           steps=steps, init=False, finalize=False)
+
+    # ordered pw×pw diagonal block: one-hot gather of this panel's pivot
+    # rows (dest ∈ [k0, k0+pw)) as an exact 0/1 MXU contraction —
+    # dblk[d, j] = panel[row with dest k0+d, col j]
+    row_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 0)
+    col_pw = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 1)
+    eye_pw = (row_pw == col_pw).astype(jnp.float32)
+    drow = jax.lax.broadcasted_iota(jnp.int32, (pw, n), 0
+                                    ).astype(jnp.float32)
+    for b in range(bm):
+        oh = jnp.maximum(0.0, 1.0 - jnp.abs(
+            dest_ref[b:b + 1, :] - kf - drow))          # (pw, n)
+        dblk_ref[b, :, :] = _mm(oh, pcT_ref[b, :, :], contract=((1,), (1,)))
+        pan_ref[b, :, :] = pcT_ref[b, :, :].T
+
+    # both triangular inverses of the diagonal block in ONE vectorized
+    # substitution pass over a (2bm, pw, pw) stack (same trick as the
+    # VMEM kernel): slots [0:bm] L11ᵀ → L11⁻¹, slots [bm:] U11 → (U11⁻¹)ᵀ
+    for b in range(bm):
+        tri_ref[bm + b, :, :] = dblk_ref[b, :, :]
+        tri_ref[b, :, :] = dblk_ref[b, :, :].T
+    tri_ref[0:bm, :, :] = (jnp.where(row_pw < col_pw,
+                                     tri_ref[0:bm, :, :], 0.0)
+                           + jnp.broadcast_to(eye_pw, (bm, pw, pw)))
+    tri_ref[bm:2 * bm, :, :] = jnp.where(row_pw <= col_pw,
+                                         tri_ref[bm:2 * bm, :, :], 0.0)
+    _triangular_inverse_body(pw, tri_ref, tinv_ref, tnat_ref)
+    ldi_ref[:, :, :] = tinv_ref[0:bm, :, :]
+    udi_ref[:, :, :] = tinv_ref[bm:2 * bm, :, :]
+
+
+# Measured scoped-VMEM footprint on chip: 38.6 MB at (bm, n, pw) =
+# (32, 512, 32) → ~77 bytes per bm·n·pw element (the per-column chain's
+# in-flight (bm, pw, n) temporaries dominate, not the declared buffers).
+# The kernel raises the Mosaic scoped limit past the 16 MB default
+# (v5e has 128 MB physical VMEM) and budgets bm against the measured
+# coefficient with ~2× headroom.
+_VMEM_BYTES_PER_ELEM = 80
+_VMEM_LIMIT = 100 * 2**20
+_VMEM_BUDGET = 56 * 2**20
+
+
+def _panel_block(n: int, pw: int, batch: int, interpret: bool) -> int:
+    """Batch block for the panel kernel.  ``multiple_of=8``: the (bm, n)
+    dest/used blocks are 2-D, so bm is a SUBLANE dim and Mosaic rejects
+    unaligned blocks (the divisor_block docstring's GP-kernel case;
+    reproduced here at bm=25 on chip)."""
+    if interpret:
+        return 8
+    bm = 8
+    for cand in (32, 24, 16):
+        if cand * n * pw * _VMEM_BYTES_PER_ELEM <= _VMEM_BUDGET:
+            bm = cand
+            break
+    return divisor_block(batch, bm, multiple_of=8)
+
+
+def _call_panel(work, dest, k0, pw, steps, bm, interpret):
+    b, n, _ = work.shape
+    grid = b // bm
+    k0a = jnp.full((1, 1), k0, jnp.int32)
+    kernel = functools.partial(_panel_kernel, pw, steps)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, n, pw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, n, pw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, pw, pw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, pw, pw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, pw), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, pw, pw), jnp.float32),
+            jax.ShapeDtypeStruct((b, pw, pw), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bm, pw, n), jnp.float32),       # transposed panel
+            pltpu.VMEM((bm, n), jnp.float32),           # used-row mask
+            pltpu.VMEM((bm, pw, pw), jnp.float32),      # ordered diag block
+            pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri stack
+            pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri inverses
+            pltpu.VMEM((2 * bm, pw, pw), jnp.float32),  # tri natural layout
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(k0a, work[:, :, k0:k0 + pw], dest)
+
+
+def _pick_pw(n: int) -> int:
+    for pw in (32, 16, 8):
+        if n % pw == 0 and n >= pw:
+            return pw
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("pw", "block", "interpret",
+                                             "polish"))
+def inverse_lu_big(a: jnp.ndarray, pw: int | None = None,
+                   block: int | None = None, interpret: bool | None = None,
+                   polish: bool = True) -> jnp.ndarray:
+    """Batched general-matrix LU inversion, any n, work buffer in HBM.
+
+    The n > 256 tier of the ``lu_pallas`` capability (reference analog:
+    ``inverse_lu_cuda_batched_gpu``, ``src/gauss/inverse_gpu.cu:60-123``,
+    which cuBLAS serves at any n).  fp32; f64 callers use the XLA route
+    in :func:`.pallas_lu.inverse_lu`.
+    """
+    orig_dtype = a.dtype
+    a = a.astype(jnp.float32)
+    if pw is None:
+        pw = _pick_pw(max(a.shape[-1], 8))
+    a, n_orig = pad_matrix_dim(a, multiple=pw)
+    n = a.shape[-1]
+    run_interpret = default_interpret(interpret)
+    bm = block if block is not None else _panel_block(
+        n, pw, a.shape[0], run_interpret)
+    a_p, orig = pad_batch(a, bm)
+    b = a_p.shape[0]
+    npanels = n // pw
+
+    work = a_p
+    # dest: per-row destination; ≥ n marks "not yet pivoted" (the marker
+    # must stay outside [0, n) or argsort could confuse a still-unpivoted
+    # row with an assigned destination)
+    dest = jnp.arange(n, 2 * n, dtype=jnp.float32)[None, :].repeat(b, axis=0)
+
+    ldis, udis, u12s, lrows_all = [], [], [], []
+    for p in range(npanels):
+        k0 = p * pw
+        k1 = k0 + pw
+        pan, dest, ldi, udi = _call_panel(work, dest, k0, pw, 2, bm,
+                                          run_interpret)
+        work = work.at[:, :, k0:k1].set(pan)
+        # positions of this panel's pivot rows, in destination order
+        inv = jnp.argsort(dest, axis=1)
+        ppos = inv[:, k0:k1].astype(jnp.int32)              # (b, pw)
+        piv_rows = jnp.take_along_axis(
+            work, ppos[:, :, None], axis=1)                  # (b, pw, n)
+        lrows_all.append(piv_rows[:, :, :k0])
+        if k1 < n:
+            u12 = _hmm(ldi, piv_rows[:, :, k1:])             # (b, pw, n-k1)
+            # masked trailing update: rows already pivoted contribute a
+            # zeroed L21 row, so the full-height matmul leaves them alone
+            unpiv = (dest >= float(n)).astype(jnp.float32)
+            l21m = work[:, :, k0:k1] * unpiv[:, :, None]
+            work = work.at[:, :, k1:].add(-_hmm(l21m, u12))
+            u12s.append(u12)
+        else:
+            u12s.append(None)
+        ldis.append(ldi)
+        udis.append(udi)
+
+    # ---- getri phase 1: M = L⁻¹ by block forward substitution.  M is
+    # block lower triangular; row block p only has columns [0, k1). ----
+    m = jnp.zeros((b, n, n), jnp.float32)
+    for p in range(npanels):
+        k0 = p * pw
+        k1 = k0 + pw
+        if p == 0:
+            rows = ldis[0]
+        else:
+            s = _hmm(lrows_all[p], m[:, :k0, :k0])           # (b, pw, k0)
+            rows = jnp.concatenate([-_hmm(ldis[p], s), ldis[p]], axis=2)
+        m = m.at[:, k0:k1, :k1].set(rows)
+
+    # ---- getri phase 2: X = U⁻¹ M by block back substitution ----
+    x = jnp.zeros((b, n, n), jnp.float32)
+    for p in range(npanels - 1, -1, -1):
+        k0 = p * pw
+        k1 = k0 + pw
+        rhs = m[:, k0:k1, :]
+        if k1 < n:
+            rhs = rhs - _hmm(u12s[p], x[:, k1:, :])
+        # udis holds (U11⁻¹)ᵀ — contract its row dim
+        x = x.at[:, k0:k1, :].set(jax.lax.dot_general(
+            udis[p], rhs,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=_HI))
+
+    # ---- column permutation: A⁻¹[i, j] = (U⁻¹L⁻¹)[i, dest[j]] ----
+    didx = jnp.rint(dest).astype(jnp.int32)
+    x = jnp.take_along_axis(
+        x, jnp.broadcast_to(didx[:, None, :], x.shape), axis=2)
+
+    x = x[:orig, :n_orig, :n_orig]
+    if polish:
+        a_o = a_p[:orig, :n_orig, :n_orig]
+        eye = jnp.eye(n_orig, dtype=jnp.float32)
+        r = eye - _hmm(a_o, x)
+        x = x + _hmm(x, r)
+    return x.astype(orig_dtype)

@@ -76,8 +76,9 @@ from cuda_matrix_inversion_tpu.ops.pallas_cholesky import (
 )
 
 
-def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
-                           used_ref, steps: int = 2):
+def _panel_factor_swapfree(pw: int, k0, n: int, pcT_ref, dest_ref,
+                           used_ref, steps: int = 2, init: bool = True,
+                           finalize: bool = True):
     """Pivoted rank-1 factorization of one panel, TRANSPOSED layout,
     with NO physical row swaps (r3 rewrite of ``_panel_factor_body_t`` —
     VERDICT r2 next #9: the per-column latency chain).
@@ -105,12 +106,21 @@ def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
     the sequential-swap order; the pivot QUALITY (true magnitude partial
     pivoting, upgrading the reference's exact-zero scan
     ``batched_invert.cu:19-35``) is unchanged.
+
+    ``init=False`` / ``finalize=False`` (the HBM-resident big-n path,
+    :mod:`.lu_bign`): the caller pre-seeds ``used_ref``/``dest_ref`` —
+    the used set is an arbitrary scattered row set from earlier panels,
+    not a ``lanes < k0`` prefix — and rows left unpivoted keep their
+    incoming dest marker instead of being assigned ``k1 + rank``.  In
+    that mode ``k0`` may be a TRACED scalar (one Mosaic kernel serves
+    every panel); the default static-int mode is unchanged.
     """
     bm = pcT_ref.shape[0]
     lanes_n = jax.lax.broadcasted_iota(jnp.int32, (bm, n), 1)
     sub_pw = jax.lax.broadcasted_iota(jnp.int32, (bm, pw, 1), 1)
-    used_ref[:, :] = (lanes_n < k0).astype(jnp.float32)
-    dest_ref[:, :] = lanes_n.astype(jnp.float32)
+    if init:
+        used_ref[:, :] = (lanes_n < k0).astype(jnp.float32)
+        dest_ref[:, :] = lanes_n.astype(jnp.float32)
 
     def body(jj, _):
         # ``steps`` pivot columns per iteration, ONE fused panel store
@@ -169,15 +179,16 @@ def _panel_factor_swapfree(pw: int, k0: int, n: int, pcT_ref, dest_ref,
 
     jax.lax.fori_loop(0, pw // steps, body, 0)
 
-    # complete the destination bijection: unused rows go to k1.. in
-    # original-index order; rank via one MXU matmul (strict-lower ones)
-    unused = 1.0 - used_ref[:, :]
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    slt = (row_i < col_i).astype(jnp.float32)
-    rank = _mm(unused, slt)                     # (BM, N)
-    dest_ref[:, :] = (dest_ref[:, :]
-                      + unused * ((k0 + pw) + rank - dest_ref[:, :]))
+    if finalize:
+        # complete the destination bijection: unused rows go to k1.. in
+        # original-index order; rank via one MXU matmul (strict-lower ones)
+        unused = 1.0 - used_ref[:, :]
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        slt = (row_i < col_i).astype(jnp.float32)
+        rank = _mm(unused, slt)                     # (BM, N)
+        dest_ref[:, :] = (dest_ref[:, :]
+                          + unused * ((k0 + pw) + rank - dest_ref[:, :]))
 
 
 def _blocked_lu_inverse_kernel(pw: int, steps: int, factor_only: bool,
@@ -349,10 +360,12 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
         _no_factor_only(_factor_only, "the f64 XLA route")
         return _xla.inverse_lu(a)
     if a.shape[-1] > _VMEM_MAX_N:
-        from cuda_matrix_inversion_tpu.ops import xla as _xla
+        # past the VMEM ceiling: the HBM-resident panel-staged kernel
+        # (r4 — VERDICT r3 next #1), not the slow XLA expander
+        from cuda_matrix_inversion_tpu.ops import lu_bign
 
-        _no_factor_only(_factor_only, f"n > {_VMEM_MAX_N} (XLA route)")
-        return _xla.inverse_lu(a)
+        _no_factor_only(_factor_only, f"n > {_VMEM_MAX_N} (HBM route)")
+        return lu_bign.inverse_lu_big(a, interpret=interpret)
     orig_dtype = a.dtype
     a = a.astype(jnp.float32)
     a, n_orig = pad_matrix_dim(a)  # tile-align n (identity block pad)

@@ -105,6 +105,20 @@ def _populate() -> None:
         register_inverse("lu_pallas", pallas_lu.inverse_lu, pallas=True)
     except ImportError:
         pass
+    try:
+        from cuda_matrix_inversion_tpu.ops import lu_bign
+
+        # the n > 256 tier of lu_pallas, exposed directly so sweeps can
+        # measure it at any n (HBM-resident work buffer, VMEM panels)
+        register_inverse("lu_bign_pallas", lu_bign.inverse_lu_big,
+                         pallas=True)
+    except ImportError:
+        pass
+    from cuda_matrix_inversion_tpu.ops import double_single
+
+    # fp64-class tier: any-κ LU seed + double-single refinement with
+    # exact bf16-digit residuals (~1e-12 on-chip gates, r4)
+    register_inverse("lu_hiacc", double_single.inverse_hiacc, pallas=True)
 
     # CPU oracle paths — analog of inverse_lu_blas / inverse_chol_blas
     register_inverse("lu_cpu", cpu_reference.inverse_lu, cpu=True)
