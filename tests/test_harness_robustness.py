@@ -262,6 +262,57 @@ def test_run_retries_long_chain_when_all_samples_below_floor(monkeypatch):
     assert emitter.best["name"] == "newton_schulz_spd10_pallas"
     assert emitter.best["ms"] == pytest.approx(0.05, rel=1e-6)
     assert emitter.best["kept"] == 10
+    # r5: the real slope measurement displaced the gate-fallback bound
+    assert emitter.best["phase"] is None
+
+
+def test_run_banks_gate_fallback_when_chain_compiles_wedge(monkeypatch,
+                                                           capsys):
+    """VERDICT r4 next #3 'done when': with the (mocked) compile path
+    dead after the gate, the run must still print a NONZERO line — the
+    r4 driver run published 0.0 three times past a passed gate."""
+    import time
+
+    from cuda_matrix_inversion_tpu.bench import timing
+    from cuda_matrix_inversion_tpu.ops import registry
+
+    bench = _load_bench()
+
+    def wedged_samples(fn, x0, iters=16, trials=5):
+        raise RuntimeError("compile helper wedged (mock)")
+
+    monkeypatch.setattr(timing, "chained_op_samples", wedged_samples)
+    monkeypatch.setattr(registry, "list_inverse_algorithms",
+                        lambda cpu=False: ["newton_schulz_spd10_pallas"])
+    monkeypatch.setattr(registry, "get_inverse_algorithm",
+                        lambda name: (lambda x: x))
+
+    a = np.broadcast_to(np.eye(8, dtype=np.float32), (4, 8, 8)).copy()
+    emitter = bench._Emitter(floor_ms=0.016)
+    t0 = time.monotonic()
+    bench._run(emitter, a, deadline=t0 + 600, t0=t0, budget_s=600)
+
+    # the gate passed, so a gate-fallback bound must have been banked
+    assert emitter.best is not None
+    assert emitter.best["phase"] == "gate-fallback"
+    assert emitter.best["ms"] > 0.0
+    assert emitter.emit() == 0
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["value"] > 0.0
+    assert line["detail"]["phase"] == "gate-fallback"
+
+
+def test_emitter_gate_fallback_not_ledgered(capsys, tmp_path):
+    # fallback bounds are crude upper bounds; they must not enter the
+    # cross-session slope ledger
+    bench = _load_bench()
+    bench._SESSIONS_PATH = str(tmp_path / "ledger.txt")
+    e = bench._Emitter(floor_ms=0.016)
+    e.update("x", 50.0, (50.0, 50.0), 0, 3, kept=3, phase="gate-fallback")
+    assert e.emit() == 0
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["detail"]["phase"] == "gate-fallback"
+    assert not os.path.exists(bench._SESSIONS_PATH)
 
 
 # --- sweep: square kind end-to-end + audit wiring -----------------------
