@@ -75,6 +75,11 @@ GENERAL_ALGORITHMS = (
     "gauss_pallas",
     "lu_pallas",
     "newton_schulz_pan500_pallas",
+    # r5 (VERDICT r4 next #4): the r4 tiers sweep alongside the others —
+    # lu_bign measures the HBM-resident route at ANY n in the roster,
+    # lu_hiacc the fp64-class double-single refinement tier
+    "lu_bign_pallas",
+    "lu_hiacc",
 )
 
 # The ONLY rows that may be skipped silently when unregistered: the

@@ -192,6 +192,7 @@ def _panel_factor_swapfree(pw: int, k0, n: int, pcT_ref, dest_ref,
 
 
 def _blocked_lu_inverse_kernel(pw: int, steps: int, factor_only: bool,
+                               trail_unscatter: bool,
                                a_ref, out_ref, work_ref, pcT_ref, tri_ref,
                                tinv_ref, tnat_ref, ldws_ref, udws_ref,
                                pidx_ref, gidx_ref, used_ref):
@@ -234,11 +235,31 @@ def _blocked_lu_inverse_kernel(pw: int, steps: int, factor_only: bool,
         gidxv = gidx_ref[:, :]
         for b in range(bm):
             work_ref[b, :, k0:k1] = pcT_ref[b, :, :].T
-            oht = jnp.maximum(0.0, 1.0 - jnp.abs(
-                pidxv[b][:, None] - row_f2.T))
-            work_ref[b, :, :] = _mm(oht, work_ref[b, :, :],
-                                    contract=((0,), (0,)))
-            gidx_ref[b:b + 1, :] = _mm(gidxv[b][None, :], oht)
+            if trail_unscatter and k0 > 0:
+                # r5 bounded attempt at the panel-bookkeeping cost
+                # (VERDICT r4 next #8): rows < k0 are already ordered
+                # and map to themselves (dest = index for the used
+                # prefix), so the permutation delta lives entirely in
+                # the trailing (N-k0)² block — halves the per-panel
+                # one-hot HIGHEST-matmul flops on average.  Built from
+                # explicit lax.slice + fresh iota: the natural
+                # `vec[k0:, None]` chained index lowers as a >2-D
+                # gather Mosaic rejects (chip-caught, r5)
+                vb = jax.lax.slice(pidxv, (b, k0), (b + 1, n))
+                gb = jax.lax.slice(gidxv, (b, k0), (b + 1, n))
+                colt = jax.lax.broadcasted_iota(
+                    jnp.int32, (n - k0, n - k0), 1
+                ).astype(jnp.float32) + float(k0)
+                oht = jnp.maximum(0.0, 1.0 - jnp.abs(vb.T - colt))
+                work_ref[b, k0:n, :] = _mm(oht, work_ref[b, k0:n, :],
+                                           contract=((0,), (0,)))
+                gidx_ref[b:b + 1, k0:] = _mm(gb, oht)
+            else:
+                oht = jnp.maximum(0.0, 1.0 - jnp.abs(
+                    pidxv[b][:, None] - row_f2.T))
+                work_ref[b, :, :] = _mm(oht, work_ref[b, :, :],
+                                        contract=((0,), (0,)))
+                gidx_ref[b:b + 1, :] = _mm(gidxv[b][None, :], oht)
 
         # both pw×pw triangular inverses in ONE vectorized substitution
         # pass over a (2BM, pw, pw) stack — the sequential pw-step loop is
@@ -339,10 +360,12 @@ def _no_factor_only(flag: bool, route: str) -> None:
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "steps",
-                                             "_factor_only"))
+                                             "_factor_only",
+                                             "_trail_unscatter"))
 def inverse_lu(a: jnp.ndarray, block: int | None = None,
                interpret: bool | None = None, steps: int = 2,
-               _factor_only: bool = False) -> jnp.ndarray:
+               _factor_only: bool = False,
+               _trail_unscatter: bool = True) -> jnp.ndarray:
     """Batched general-matrix LU inversion with partial pivoting, one launch.
 
     Drop-in for the reference's fastest path ``inverse_lu_cuda_batched_gpu``
@@ -411,7 +434,7 @@ def inverse_lu(a: jnp.ndarray, block: int | None = None,
                          f"the panel width {pw}")
     out = pl.pallas_call(
         functools.partial(_blocked_lu_inverse_kernel, pw, steps,
-                          _factor_only),
+                          _factor_only, _trail_unscatter),
         grid=(grid,),
         in_specs=[pl.BlockSpec((bm, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],

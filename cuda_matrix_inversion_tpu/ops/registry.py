@@ -120,12 +120,17 @@ def _populate() -> None:
     # exact bf16-digit residuals (~1e-13 on-chip, chip-tests.txt r5).
     # ADVICE r4: the default lu_pallas seed is itself guarded by a
     # try/except above — fall back to the XLA LU seed so lu_hiacc never
-    # registers a KeyError-at-call-time entry.
+    # registers a KeyError-at-call-time entry.  The registry entry pins
+    # iters=3 (unrolled — reaches the ds floor through κ ~ 2e4 from the
+    # pivoted-LU seed) instead of the adaptive while_loop default:
+    # while_loop graphs cost multi-minute remote compiles inside the
+    # sweep/bench chain closures (the same reason bench.py excludes the
+    # adaptive NS pair); adaptive callers use inverse_hiacc_ds directly.
     _hiacc_seed = ("lu_pallas" if "lu_pallas" in _DEVICE_ALGORITHMS
                    else "lu")
     register_inverse("lu_hiacc",
                      functools.partial(double_single.inverse_hiacc,
-                                       algorithm=_hiacc_seed),
+                                       algorithm=_hiacc_seed, iters=3),
                      pallas="lu_pallas" in _DEVICE_ALGORITHMS)
 
     # CPU oracle paths — analog of inverse_lu_blas / inverse_chol_blas

@@ -583,6 +583,24 @@ def test_pallas_lu_permuted_rows(rng):
     assert _identity_err_inf(a, inv) < 1e-4
 
 
+def test_pallas_lu_trail_unscatter_exact_match():
+    # r5 (VERDICT r4 next #8): the trailing-rows-only per-panel
+    # unscatter is a pure flop reduction — the one-hot permutation is
+    # exact 0/1 arithmetic either way, so both variants must agree
+    # BIT-EXACTLY, heavily permuted input included
+    from cuda_matrix_inversion_tpu.ops import pallas_lu
+
+    rng = np.random.default_rng(55)
+    n = 64
+    perm = rng.permutation(n)
+    a = rng.standard_normal((4, n, n)).astype(np.float32)
+    a = a + n * np.eye(n, dtype=np.float32)[perm]
+    fast = np.asarray(pallas_lu.inverse_lu(a, _trail_unscatter=True))
+    full = np.asarray(pallas_lu.inverse_lu(a, _trail_unscatter=False))
+    assert (fast == full).all()
+    assert _identity_err_inf(a, fast) < 1e-4
+
+
 def test_pallas_lu_small_n_delegates():
     from cuda_matrix_inversion_tpu.ops import pallas_lu
 
