@@ -366,36 +366,53 @@ def lu_bign_512_gate():
     Mosaic lowering + the raised scoped-VMEM limit (the shipped bm
     budget: ~77 B/elem measured ⇒ bm=32 at pw=32 ≈ 42 MB scoped —
     executing without a Mosaic OOM is this row's VMEM evidence; the
-    module docstring cites it)."""
-    from cuda_matrix_inversion_tpu.io.fixtures import make_square_batch
+    module docstring cites it).  κ=500 nonsym: the fp32-class domain.
+    (First r5 run used the κ≤4n square class — κ≈2048 at n=512 sits AT
+    the fp32 polish floor κ·ε₃₂ ≈ 1.2e-4 and failed by 8%; that regime
+    belongs to the fp64-class tier — see hiacc_rescues_512_kappa4n.)"""
     from cuda_matrix_inversion_tpu.ops.lu_bign import inverse_lu_big
 
-    a = make_square_batch(100, 512, np.random.default_rng(63)).astype(
-        np.float32)
+    a = _make_nonsym_cond(100, 512, 500.0, np.random.default_rng(63))
     return _check(_gate_err(a, np.asarray(inverse_lu_big(a))))
+
+
+def hiacc_rescues_512_kappa4n():
+    """The regime no fp32 path can gate: the κ≤4n square class at n=512
+    (κ ≈ 2048 ⇒ fp32 floor κ·ε₃₂ ≈ 1.2e-4, measured 1.08e-4 on the
+    lu_bign polish).  The double-single tier must clear it by orders —
+    the precision switch doing the job the reference solved with
+    ``DataType=double`` (`include/types.h:4`)."""
+    import jax.numpy as jnp
+
+    from cuda_matrix_inversion_tpu.io.fixtures import make_square_batch
+    from cuda_matrix_inversion_tpu.ops import double_single as ds
+
+    a = make_square_batch(8, 512, np.random.default_rng(65)).astype(
+        np.float32)
+    xh, xl = ds.inverse_hiacc_ds(jnp.asarray(a), algorithm="lu", iters=3)
+    err = float(np.max(np.asarray(ds.residual_inf_ds(jnp.asarray(a),
+                                                     xh, xl))))
+    return _check(err, gate=1e-8)
 
 
 def lu_big_ab_512():
     """VERDICT r4 next #2: the n>256 dispatch must route on MEASUREMENT.
-    A/B the two routes at 100×512 (enqueue-slope — no extra chain
-    compiles) and PASS only while the shipped default
-    (pallas_lu.inverse_lu → XLA expander) is at least as fast as the
-    lu_bign tier it replaced.  Judge r4: XLA 39 ms vs lu_bign 805 ms."""
-    import jax.numpy as jnp
-
-    from cuda_matrix_inversion_tpu.bench.timing import enqueue_slope_seconds
+    A/B the two routes at 100×512 with dependency-chained slope timing
+    (the enqueue-slope variant measured NEGATIVE at these magnitudes —
+    tunnel RTT noise swamps sub-second queues) and PASS only while the
+    shipped default (pallas_lu.inverse_lu → XLA expander) is at least
+    as fast as the lu_bign tier it replaced.  Judge r4: XLA 39 ms vs
+    lu_bign 805 ms."""
+    from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
     from cuda_matrix_inversion_tpu.io.fixtures import make_square_batch
     from cuda_matrix_inversion_tpu.ops.lu_bign import inverse_lu_big
     from cuda_matrix_inversion_tpu.ops.pallas_lu import inverse_lu
 
     a = make_square_batch(100, 512, np.random.default_rng(64)).astype(
         np.float32)
-    aj = jnp.asarray(a)
-    t_default = enqueue_slope_seconds(inverse_lu, [aj], n1=2, n2=6,
-                                      trials=3) * 1e3
-    t_bign = enqueue_slope_seconds(inverse_lu_big, [aj], n1=1, n2=3,
-                                   trials=2) * 1e3
-    ok = t_default <= t_bign * 1.05
+    t_default = chained_op_seconds(inverse_lu, a, iters=4, trials=3) * 1e3
+    t_bign = chained_op_seconds(inverse_lu_big, a, iters=2, trials=3) * 1e3
+    ok = 0 < t_default <= t_bign * 1.05
     return ok, (f"default_ms={t_default:.1f} lu_bign_ms={t_bign:.1f} "
                 "(default must win or tie)")
 
@@ -442,13 +459,18 @@ def gp_pallas_10k_128():
 
 
 def gp_fit_10k_128():
-    """10k×128 hyper-parameter fit (fused-LML custom-VJP path): two Adam
-    steps must run, stay finite, improve the LML; per-step ms ledgered
-    via enqueue slope of one value_and_grad step."""
+    """10k×128 hyper-parameter fit (fused-LML custom-VJP path): Adam
+    steps must run, stay finite, improve the LML.  Per-step cost is the
+    slope between a steps=2 and a steps=6 scan (each call device_gets
+    the lml_path, so completion is real) — an upper bound including the
+    in-scan Adam update; the standalone value_and_grad graph at this
+    batch out-compiles a foreground chunk (>590 s in slow mode), so the
+    scan IS the timed artifact."""
+    import time
+
     import jax
     import jax.numpy as jnp
 
-    from cuda_matrix_inversion_tpu.bench.timing import enqueue_slope_seconds
     from cuda_matrix_inversion_tpu.models import gp_fit
 
     rng = np.random.default_rng(72)
@@ -462,14 +484,22 @@ def gp_fit_10k_128():
     res = gp_fit.fit_gp_scales(bb, cc, dd, steps=2, method="pallas")
     path = np.asarray(res.lml_path)
 
-    def step(theta):
-        return jax.grad(lambda t: -jnp.mean(gp_fit._batch_lml(
-            t, bb, cc, dd, method="pallas")))(theta)
+    def run(steps):
+        r = gp_fit.fit_gp_scales(bb, cc, dd, steps=steps, method="pallas")
+        np.asarray(r.lml_path)  # device_get forces real completion
 
-    theta0 = jnp.zeros((batch, 2), jnp.float32)
-    ms = enqueue_slope_seconds(step, [theta0], n1=1, n2=4, trials=2) * 1e3
+    run(6)  # compile the second scan length
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(2)
+        t1 = time.perf_counter()
+        run(6)
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / 4.0)
+    ms = float(np.median(slopes)) * 1e3
     ok = bool(np.isfinite(path).all() and path[-1] >= path[0] and ms > 0)
-    return ok, f"lml {path[0]:.2f}->{path[-1]:.2f} grad_step_ms={ms:.2f}"
+    return ok, f"lml {path[0]:.2f}->{path[-1]:.2f} step_ms={ms:.1f}"
 
 
 CHECKS = [
@@ -496,6 +526,7 @@ CHECKS = [
     ("lu_hiacc_kappa500_128", lu_hiacc_kappa500_128),
     ("lu_hiacc_kappa2e4_adaptive", lu_hiacc_kappa2e4_adaptive),
     ("lu_bign_512_gate", lu_bign_512_gate),
+    ("hiacc_rescues_512_kappa4n", hiacc_rescues_512_kappa4n),
     ("lu_big_ab_512", lu_big_ab_512),
     # r5: 10k-scale GP flagship + fit (VERDICT r4 next #6)
     ("gp_pallas_10k_128", gp_pallas_10k_128),

@@ -241,10 +241,15 @@ def _blocked_lu_inverse_kernel(pw: int, steps: int, factor_only: bool,
                 # and map to themselves (dest = index for the used
                 # prefix), so the permutation delta lives entirely in
                 # the trailing (N-k0)² block — halves the per-panel
-                # one-hot HIGHEST-matmul flops on average.  Built from
-                # explicit lax.slice + fresh iota: the natural
-                # `vec[k0:, None]` chained index lowers as a >2-D
-                # gather Mosaic rejects (chip-caught, r5)
+                # one-hot HIGHEST-matmul flops on average.  MEASURED
+                # SLOWER on chip (kernel-ab-r5.jsonl, 1600×128: 14.69
+                # vs 12.08 ms full, bit-identical output): the
+                # 96/64/32-row slices are off the 128-lane tile and
+                # their relayout/padding costs exceed the flop saving
+                # — default False; kept for the reproducible A/B.
+                # Built from explicit lax.slice + fresh iota: the
+                # natural `vec[k0:, None]` chained index lowers as a
+                # >2-D gather Mosaic rejects (chip-caught, r5)
                 vb = jax.lax.slice(pidxv, (b, k0), (b + 1, n))
                 gb = jax.lax.slice(gidxv, (b, k0), (b + 1, n))
                 colt = jax.lax.broadcasted_iota(
@@ -365,7 +370,7 @@ def _no_factor_only(flag: bool, route: str) -> None:
 def inverse_lu(a: jnp.ndarray, block: int | None = None,
                interpret: bool | None = None, steps: int = 2,
                _factor_only: bool = False,
-               _trail_unscatter: bool = True) -> jnp.ndarray:
+               _trail_unscatter: bool = False) -> jnp.ndarray:
     """Batched general-matrix LU inversion with partial pivoting, one launch.
 
     Drop-in for the reference's fastest path ``inverse_lu_cuda_batched_gpu``

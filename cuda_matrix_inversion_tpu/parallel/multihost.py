@@ -62,9 +62,15 @@ def local_batch_slice(global_batch: int) -> slice:
             f"{jax.device_count()}-device mesh (pad first — "
             "parallel.mesh.pad_to_multiple)")
     per_dev = global_batch // jax.device_count()
-    first = min(d.id for d in jax.local_devices())
-    return slice(first * per_dev,
-                 (first + len(jax.local_devices())) * per_dev)
+    # positions within the GLOBAL device list (what the mesh/sharding
+    # orders by) — raw device ids are NOT contiguous across processes
+    # (measured: process 1's CPU devices start at id 2048)
+    pos = {d.id: i for i, d in enumerate(jax.devices())}
+    locs = sorted(pos[d.id] for d in jax.local_devices())
+    if locs != list(range(locs[0], locs[0] + len(locs))):
+        raise RuntimeError(
+            f"local devices not contiguous in the global list: {locs}")
+    return slice(locs[0] * per_dev, (locs[0] + len(locs)) * per_dev)
 
 
 def global_array_from_local(mesh, local_rows: np.ndarray,
