@@ -397,24 +397,28 @@ def hiacc_rescues_512_kappa4n():
 
 def lu_big_ab_512():
     """VERDICT r4 next #2: the n>256 dispatch must route on MEASUREMENT.
-    A/B the two routes at 100×512 with dependency-chained slope timing
-    (the enqueue-slope variant measured NEGATIVE at these magnitudes —
-    tunnel RTT noise swamps sub-second queues) and PASS only while the
-    shipped default (pallas_lu.inverse_lu → XLA expander) is at least
-    as fast as the lu_bign tier it replaced.  Judge r4: XLA 39 ms vs
-    lu_bign 805 ms."""
+    Chained-slope A/B of the shipped default (`pallas_lu.inverse_lu`)
+    against BOTH explicit routes at 100×512 (enqueue slopes measured
+    NEGATIVE at these magnitudes — tunnel RTT noise swamps sub-second
+    queues); PASS only while the default stays within 5% of the best.
+    History: r4 shipped lu_bign unmeasured at 805 ms (judge) vs XLA
+    39 ms; r5 first reverted (ledgered 41.3 vs 643.7), then made the
+    HBM tier gather-free + wide-panel (25.1 ms) and routed back."""
     from cuda_matrix_inversion_tpu.bench.timing import chained_op_seconds
     from cuda_matrix_inversion_tpu.io.fixtures import make_square_batch
+    from cuda_matrix_inversion_tpu.ops import xla
     from cuda_matrix_inversion_tpu.ops.lu_bign import inverse_lu_big
     from cuda_matrix_inversion_tpu.ops.pallas_lu import inverse_lu
 
     a = make_square_batch(100, 512, np.random.default_rng(64)).astype(
         np.float32)
-    t_default = chained_op_seconds(inverse_lu, a, iters=4, trials=3) * 1e3
+    t_default = chained_op_seconds(inverse_lu, a, iters=2, trials=3) * 1e3
+    t_xla = chained_op_seconds(xla.inverse_lu, a, iters=2, trials=3) * 1e3
     t_bign = chained_op_seconds(inverse_lu_big, a, iters=2, trials=3) * 1e3
-    ok = 0 < t_default <= t_bign * 1.05
-    return ok, (f"default_ms={t_default:.1f} lu_bign_ms={t_bign:.1f} "
-                "(default must win or tie)")
+    best = min(t for t in (t_default, t_xla, t_bign) if t > 0)
+    ok = 0 < t_default <= best * 1.05
+    return ok, (f"default_ms={t_default:.1f} xla_ms={t_xla:.1f} "
+                f"lu_bign_ms={t_bign:.1f} (default within 5% of best)")
 
 
 def _gp_10k_inputs(rng):

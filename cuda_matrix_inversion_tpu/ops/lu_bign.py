@@ -164,11 +164,20 @@ def _panel_block(n: int, pw: int, batch: int, interpret: bool) -> int:
 
 
 def _pick_pw(n: int) -> int:
-    """Widest panel whose bm=8 fallback still fits the VMEM budget
-    (ADVICE r4: pw=32 crosses it near n ≈ 5100; shrink pw before
-    failing)."""
-    for pw in (32, 16, 8):
-        if 8 * n * pw * _VMEM_BYTES_PER_ELEM <= _VMEM_BUDGET:
+    """Widest panel that (a) keeps ≥ 2 panels (pw ≤ n/2 — the
+    single-panel degenerate case has no trailing update and belongs to
+    the VMEM kernel) and (b) fits the bm=8 VMEM fallback (ADVICE r4:
+    shrink pw before failing; the budget crosses near n·pw ≈ 88k).
+
+    Wider panels won big on chip (r5, 100×512 chained slopes): pw=32 →
+    39.3 ms, 64 → 32.1, 128 → **25.1** — fewer panel rounds means fewer
+    full-buffer HBM update-slices and fewer per-panel bookkeeping ops,
+    while the per-column chain length (n columns total) is unchanged.
+    The ladder scales down as n grows: 128 to n ≈ 1300, 64 to ≈ 2600,
+    … 8 to ≈ 20 000."""
+    for pw in (128, 64, 32, 16, 8):
+        if pw * 2 <= max(n, 16) and (
+                8 * n * pw * _VMEM_BYTES_PER_ELEM <= _VMEM_BUDGET):
             return pw
     return 8
 
@@ -246,8 +255,8 @@ def inverse_lu_big(a: jnp.ndarray, pw: int | None = None,
 
     work = a_p
     # dest: per-row destination; ≥ n marks "not yet pivoted" (the marker
-    # must stay outside [0, n) or argsort could confuse a still-unpivoted
-    # row with an assigned destination)
+    # must stay outside [0, n) or the one-hot selections below could
+    # confuse a still-unpivoted row with an assigned destination)
     dest = jnp.arange(n, 2 * n, dtype=jnp.float32)[None, :].repeat(b, axis=0)
 
     ldis, udis, u12s, lrows_all = [], [], [], []
@@ -257,11 +266,15 @@ def inverse_lu_big(a: jnp.ndarray, pw: int | None = None,
         pan, dest, ldi, udi = _call_panel(work, dest, k0, pw, 2, bm,
                                           run_interpret)
         work = work.at[:, :, k0:k1].set(pan)
-        # positions of this panel's pivot rows, in destination order
-        inv = jnp.argsort(dest, axis=1)
-        ppos = inv[:, k0:k1].astype(jnp.int32)              # (b, pw)
-        piv_rows = jnp.take_along_axis(
-            work, ppos[:, :, None], axis=1)                  # (b, pw, n)
+        # this panel's pivot rows, in destination order, as an exact
+        # one-hot MXU contraction: oh[t, s] = 1 iff dest[s] == k0+t
+        # (a row gather here lowers to a sublane-gather loop; the final
+        # column permutation's LANE gather measured 600 ms of a 643 ms
+        # call at 100×512 — profile r5 — so every gather in this module
+        # rides the MXU instead)
+        drow = jnp.arange(pw, dtype=jnp.float32)[None, :, None] + float(k0)
+        oh = jnp.maximum(0.0, 1.0 - jnp.abs(dest[:, None, :] - drow))
+        piv_rows = _hmm(oh, work)                            # (b, pw, n)
         lrows_all.append(piv_rows[:, :, :k0])
         if k1 < n:
             u12 = _hmm(ldi, piv_rows[:, :, k1:])             # (b, pw, n-k1)
@@ -303,10 +316,16 @@ def inverse_lu_big(a: jnp.ndarray, pw: int | None = None,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             precision=_HI))
 
-    # ---- column permutation: A⁻¹[i, j] = (U⁻¹L⁻¹)[i, dest[j]] ----
-    didx = jnp.rint(dest).astype(jnp.int32)
-    x = jnp.take_along_axis(
-        x, jnp.broadcast_to(didx[:, None, :], x.shape), axis=2)
+    # ---- column permutation: A⁻¹[i, j] = (U⁻¹L⁻¹)[i, dest[j]], as the
+    # exact one-hot contraction X·P with P[d, j] = 1 iff dest[j] == d.
+    # The take_along_axis it replaces is a LANE-dim gather — measured
+    # 600 ms of the 643 ms call at 100×512 (91.5% in one fusion,
+    # profile r5); the one-hot HIGHEST matmul is ~1.3 ms of MXU work
+    # and bit-identical (exactly one 1 per column) ----
+    drng = jnp.arange(n, dtype=jnp.float32)
+    p = jnp.maximum(0.0, 1.0 - jnp.abs(dest[:, None, :]
+                                       - drng[None, :, None]))
+    x = _hmm(x, p)
 
     x = x[:orig, :n_orig, :n_orig]
     if polish:
