@@ -182,9 +182,13 @@ class _Emitter:
             # RTT), never a slope measurement — flag it so downstream
             # tooling can't mistake it for device-resident timing
             detail["phase"] = best["phase"]
-        sess = _session_median_ms(best["ms"])
-        if sess is not None:
-            detail["session_median_ms"] = round(sess, 4)
+        if not best.get("phase"):
+            # a crude fallback bound must not seed the session median
+            # either (code-review r5) — the field means "cross-session
+            # SLOPE median" and a 20 ms wall-clock bound would skew it
+            sess = _session_median_ms(best["ms"])
+            if sess is not None:
+                detail["session_median_ms"] = round(sess, 4)
         if note:
             detail["note"] = note
         out = {"metric": _METRIC, "value": round(per_sec, 1),
@@ -208,14 +212,9 @@ def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
     import jax
 
     from cuda_matrix_inversion_tpu.bench.timing import chained_op_samples
-    from cuda_matrix_inversion_tpu.ops.registry import (
-        get_inverse_algorithm,
-        list_inverse_algorithms,
-    )
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
 
-    names = [n for n in list_inverse_algorithms(cpu=False)
-             if n not in _EXCLUDE]
-    names.sort(key=lambda n: (_ORDER.index(n) if n in _ORDER else len(_ORDER), n))
+    names = _candidates()
     floor_ms = emitter.floor_ms
     winner = None  # (median_ms, name, fn, iters, kept_list, total)
 
@@ -359,14 +358,34 @@ def _run(emitter: _Emitter, a_host: np.ndarray, deadline: float,
                            total - arr.size, total, kept=int(arr.size))
 
 
+def _candidates():
+    """The bench's candidate roster, in timing order — ONE definition
+    shared by _run and warm (code-review r5: a drifted copy would warm
+    the wrong graph set, defeating the exact-graph pre-compile)."""
+    from cuda_matrix_inversion_tpu.ops.registry import (
+        list_inverse_algorithms,
+    )
+
+    names = [n for n in list_inverse_algorithms(cpu=False)
+             if n not in _EXCLUDE]
+    names.sort(key=lambda n: (_ORDER.index(n) if n in _ORDER else len(_ORDER), n))
+    return names
+
+
 def warm(budget_s: float) -> int:
     """Pre-compile bench's exact gate + chain graphs into the persistent
     compilation cache (``make bench-warm``, VERDICT r4 weak #4d: the
     judge measured that a warm cache flips a 0.0 run into a 310×
     headline when the remote compile helper is in its ~70-390 s/compile
-    slow mode).  Safe to run repeatedly; cache hits cost seconds."""
+    slow mode).  Safe to run repeatedly; cache hits cost seconds.
+    Prints ``warm: done`` ONLY on full candidate coverage (the chip
+    session's completeness marker); a budget exhaustion prints
+    ``warm: incomplete`` and returns 3 so resumable callers rerun."""
     deadline = time.monotonic() + budget_s
-    from cuda_matrix_inversion_tpu.utils.backend import pin_backend
+    from cuda_matrix_inversion_tpu.utils.backend import (
+        first_contact_watchdog,
+        pin_backend,
+    )
     from cuda_matrix_inversion_tpu.utils.cache import (
         enable_compilation_cache,
     )
@@ -376,25 +395,20 @@ def warm(budget_s: float) -> int:
     import jax
 
     from cuda_matrix_inversion_tpu.bench.timing import chained_op_samples
-    from cuda_matrix_inversion_tpu.ops.registry import (
-        get_inverse_algorithm,
-        list_inverse_algorithms,
-    )
+    from cuda_matrix_inversion_tpu.ops.registry import get_inverse_algorithm
 
     _crumb("warm: jax.devices()")
-    jax.devices()
+    with first_contact_watchdog(what="jax.devices() [bench --warm]"):
+        jax.devices()
     rng = np.random.default_rng(2026)
     from cuda_matrix_inversion_tpu.io.fixtures import make_spd_batch
 
     a_host = make_spd_batch(100, 128, rng).astype(np.float32)
     a_dev = jax.device_put(a_host)
-    names = [n for n in list_inverse_algorithms(cpu=False)
-             if n not in _EXCLUDE]
-    names.sort(key=lambda n: (_ORDER.index(n) if n in _ORDER else len(_ORDER), n))
-    for name in names:
+    for name in _candidates():
         if time.monotonic() >= deadline:
-            _crumb("warm: budget exhausted")
-            break
+            _crumb("warm: incomplete (budget exhausted) — rerun to resume")
+            return 3
         try:
             fn = get_inverse_algorithm(name)
             _crumb(f"warm: {name} gate graph")

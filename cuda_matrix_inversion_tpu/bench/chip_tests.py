@@ -415,8 +415,15 @@ def lu_big_ab_512():
     t_default = chained_op_seconds(inverse_lu, a, iters=2, trials=3) * 1e3
     t_xla = chained_op_seconds(xla.inverse_lu, a, iters=2, trials=3) * 1e3
     t_bign = chained_op_seconds(inverse_lu_big, a, iters=2, trials=3) * 1e3
-    best = min(t for t in (t_default, t_xla, t_bign) if t > 0)
-    ok = 0 < t_default <= best * 1.05
+    positive = [t for t in (t_default, t_xla, t_bign) if t > 0]
+    if not positive or t_default <= 0:
+        # all-negative slopes = tunnel/load noise, not a routing verdict
+        # (code-review r5: min() over the empty filter raised) — FAIL
+        # with an actionable message instead of an EXCEPTION row
+        return False, (f"non-positive slopes (default={t_default:.1f} "
+                       f"xla={t_xla:.1f} bign={t_bign:.1f} ms) — tunnel "
+                       "noise; clear the progress row and re-measure")
+    ok = t_default <= min(positive) * 1.05
     return ok, (f"default_ms={t_default:.1f} xla_ms={t_xla:.1f} "
                 f"lu_bign_ms={t_bign:.1f} (default within 5% of best)")
 
@@ -580,7 +587,27 @@ def run(ledger: str, progress: str | None, budget_s: float | None,
         print(f"budget exhausted, {remaining} checks remain (rerun to "
               "resume)", file=sys.stderr)
         return 3
-    return 1 if failed else 0
+    # Completion rc derives from the LEDGER's latest status per check,
+    # not this chunk's counter (code-review r5: a FAIL in an earlier
+    # chunk was forgotten once its name entered the progress file, so a
+    # multi-chunk session could end "all-PASS" over FAIL rows).  The
+    # LATEST row per name wins — a re-measured fix legitimately
+    # supersedes its old FAIL.
+    latest = {}
+    try:
+        with open(ledger) as f:
+            for ln in f:
+                parts = ln.split()
+                if len(parts) >= 3 and parts[2] in ("PASS", "FAIL"):
+                    latest[parts[1]] = parts[2]
+    except OSError:
+        pass
+    ledger_failed = [name for name, _ in checks
+                     if latest.get(name) == "FAIL"]
+    if ledger_failed:
+        print(f"ledger has FAIL rows: {' '.join(ledger_failed)}",
+              file=sys.stderr)
+    return 1 if (failed or ledger_failed) else 0
 
 
 def main(argv=None) -> int:

@@ -176,8 +176,13 @@ def _pick_pw(n: int) -> int:
     The ladder scales down as n grows: 128 to n ≈ 1300, 64 to ≈ 2600,
     … 8 to ≈ 20 000."""
     for pw in (128, 64, 32, 16, 8):
+        # budget against the PADDED n (code-review r5: checking the raw
+        # n accepted pw=128 for n = 641..716, whose pad to a multiple
+        # of 128 then crossed the budget inside _panel_block → crash
+        # bands where a narrower panel works fine)
+        n_pad = -(-n // pw) * pw
         if pw * 2 <= max(n, 16) and (
-                8 * n * pw * _VMEM_BYTES_PER_ELEM <= _VMEM_BUDGET):
+                8 * n_pad * pw * _VMEM_BYTES_PER_ELEM <= _VMEM_BUDGET):
             return pw
     return 8
 

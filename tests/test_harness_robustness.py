@@ -356,12 +356,23 @@ def test_chip_test_ledger_plumbing(tmp_path):
     assert "ok_check PASS" in lines[0]
     assert "fail_check FAIL" in lines[1]
     assert "boom_check FAIL EXCEPTION" in lines[2]
-    # resumable: a second run skips everything already recorded
+    # resumable: a second run skips everything already recorded — but
+    # the completion rc derives from the LEDGER, so earlier-chunk FAILs
+    # are not forgotten (code-review r5)
     rc2 = chip_tests.run(str(ledger), str(progress), budget_s=None,
                          checks=checks, require_tpu=False,
                          stamp="2026-08-18T00:00:01")
-    assert rc2 == 0 and calls == ["ok"]
+    assert rc2 == 1 and calls == ["ok"]
     assert len(open(ledger).read().splitlines()) == 3
+    # a re-measured fix supersedes its FAIL: append PASS rows for the
+    # two failed names and the completed run goes green
+    with open(ledger, "a") as f:
+        f.write("2026-08-18T00:00:02 fail_check PASS err=1e-6\n")
+        f.write("2026-08-18T00:00:03 boom_check PASS err=1e-6\n")
+    rc3 = chip_tests.run(str(ledger), str(progress), budget_s=None,
+                         checks=checks, require_tpu=False,
+                         stamp="2026-08-18T00:00:04")
+    assert rc3 == 0
 
 
 def test_chip_test_budget_exhaustion_returns_3(tmp_path):

@@ -141,13 +141,11 @@ if ! stage_done bench_warm; then
     BENCH_WARM_BUDGET_S=$budget python bench.py --warm \
         2>&1 | tee -a "$STATE/bench_warm.log"
     rc=${PIPESTATUS[0]}
-    [ $rc -ne 0 ] && { say "bench --warm rc=$rc"; exit $rc; }
-    # done only when the warm pass covered every candidate in-budget
-    if grep -q "warm: done" "$STATE/bench_warm.log"; then
-        mark_done bench_warm
-    else
-        exit 3
-    fi
+    case $rc in
+        0) mark_done bench_warm ;;   # full coverage ("warm: done")
+        3) exit 3 ;;                 # budget exhausted; rerun resumes
+        *) say "bench --warm rc=$rc"; exit $rc ;;
+    esac
     checkpoint
 fi
 
